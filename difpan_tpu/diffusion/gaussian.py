@@ -1,0 +1,298 @@
+"""Gaussian diffusion process as pure JAX functions (NHWC).
+
+Behavior parity with the reference `GaussianDiffusion`
+(`/root/reference/diffusion/diffusion_ddpm_pan.py:143-778`) but stateless and
+TPU-first:
+
+  * every coefficient lookup is a gather into a [T] float32 table
+    (`Schedule`), so the whole train step / sampling chain compiles to one
+    XLA program;
+  * sampling loops are `lax.scan`s — no per-step host round-trip (the
+    reference runs a Python loop with tqdm per step);
+  * the stochastic self-conditioning forward is a `lax.cond`, matching the
+    reference's batch-level coin flip (`diffusion_ddpm_pan.py:700-714`).
+
+Reference quirks reproduced intentionally (documented for parity):
+  * DDIM sampling runs with clip_denoised=False (`:595-604` default, call
+    site `:653-665` never overrides), so the "+lms clamp" trick (`:391-399`)
+    only applies to the DDPM path.
+  * In both sampling loops the self-conditioning input degenerates to the
+    current noisy image (the DDIM loop never updates `pred_x_start`, `:628`;
+    the DDPM loop carries the previous *sample*, `:475,:502`, which equals the
+    current x) — so samplers here always pass x as self_cond.
+  * After respacing, the denoiser receives the respaced index 0..T'-1, not
+    the original timestep (the reference's timestep_map is unused).
+  * `pred_v` training computes recon_x0 from the *true* v (`:733-735`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .schedules import Schedule
+
+# Model protocol: closed over params. key may be None in eval.
+#   model_fn(x, t, cond, self_cond, key) -> prediction   (all NHWC)
+ModelFn = Callable[..., jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionConfig:
+    """Static configuration (mirrors reference ctor args,
+    `diffusion_ddpm_pan.py:144-187`; engine values at
+    `diffusion_engine.py:183-196`)."""
+    channels: int
+    pred_mode: str = "x_start"          # noise | x_start | pred_v
+    loss_type: str = "l1"               # l1 | l2 | l1ssim
+    clamp_range: Optional[Tuple[float, float]] = (0.0, 1.0)
+    clamp_type: str = "abs"             # abs | dynamic
+    self_condition: bool = True
+    p2_loss_weight_gamma: float = 0.0
+    p2_loss_weight_k: float = 1.0
+    dynamic_thresholding_ratio: float = 0.8
+    thresholding_max_val: float = 1.0
+
+    def __post_init__(self):
+        assert self.pred_mode in ("noise", "x_start", "pred_v")
+        assert self.loss_type in ("l1", "l2", "l1ssim")
+        assert self.clamp_type in ("abs", "dynamic")
+
+
+def _extract(table: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-sample coefficients and broadcast over H, W, C (NHWC)."""
+    return table[t][:, None, None, None]
+
+
+def q_sample(sched: Schedule, x_start: jnp.ndarray, t: jnp.ndarray,
+             noise: jnp.ndarray) -> jnp.ndarray:
+    """Forward diffusion x_t ~ q(x_t|x_0)  (`diffusion_ddpm_pan.py:668-681`)."""
+    return (_extract(sched.sqrt_alphas_cumprod, t) * x_start
+            + _extract(sched.sqrt_one_minus_alphas_cumprod, t) * noise)
+
+
+def predict_start_from_noise(sched, x_t, t, noise):
+    return (_extract(sched.sqrt_recip_alphas_cumprod, t) * x_t
+            - _extract(sched.sqrt_recipm1_alphas_cumprod, t) * noise)
+
+
+def predict_noise_from_start(sched, x_t, t, x0_pred):
+    return ((_extract(sched.sqrt_recip_alphas_cumprod, t) * x_t - x0_pred)
+            / _extract(sched.sqrt_recipm1_alphas_cumprod, t))
+
+
+def predict_v_from_start(sched, x_start, t, noise):
+    return (_extract(sched.sqrt_alphas_cumprod, t) * noise
+            - _extract(sched.sqrt_one_minus_alphas_cumprod, t) * x_start)
+
+
+def predict_start_from_v(sched, x_t, t, v):
+    return (_extract(sched.sqrt_alphas_cumprod, t) * x_t
+            - _extract(sched.sqrt_one_minus_alphas_cumprod, t) * v)
+
+
+def q_posterior(sched, x_start, x_t, t):
+    """Posterior q(x_{t-1}|x_t, x_0)  (`diffusion_ddpm_pan.py:316-325`)."""
+    mean = (_extract(sched.posterior_mean_coef1, t) * x_start
+            + _extract(sched.posterior_mean_coef2, t) * x_t)
+    var = _extract(sched.posterior_variance, t)
+    log_var = _extract(sched.posterior_log_variance_clipped, t)
+    return mean, var, log_var
+
+
+def _prediction_to_x0(cfg: DiffusionConfig, sched: Schedule, x_t, t, model_out):
+    if cfg.pred_mode == "noise":
+        return predict_start_from_noise(sched, x_t, t, model_out)
+    elif cfg.pred_mode == "x_start":
+        return model_out
+    else:  # pred_v
+        return predict_start_from_v(sched, x_t, t, model_out)
+
+
+def dynamic_thresholding(cfg: DiffusionConfig, x0: jnp.ndarray) -> jnp.ndarray:
+    """Imagen-style dynamic thresholding (`diffusion_ddpm_pan.py:328-344`),
+    including the reference's clamp-to-[0, s] quirk for [0,1]-ranged data."""
+    b = x0.shape[0]
+    flat = jnp.abs(x0).reshape(b, -1)
+    s = jnp.quantile(flat, cfg.dynamic_thresholding_ratio, axis=1)
+    s = jnp.maximum(s, cfg.thresholding_max_val)[:, None, None, None]
+    return jnp.clip(x0, 0.0, s) / s
+
+
+def _clip_x0(cfg: DiffusionConfig, x0, cond):
+    """The '+lms shift, clamp, shift back' trick
+    (`diffusion_ddpm_pan.py:391-399`). cond's first `channels` channels are
+    lms (NHWC: last axis)."""
+    lms = cond[..., : cfg.channels]
+    x0 = x0 + lms
+    if cfg.clamp_type == "abs":
+        x0 = jnp.clip(x0, cfg.clamp_range[0], cfg.clamp_range[1])
+    else:
+        x0 = dynamic_thresholding(cfg, x0)
+    return x0 - lms
+
+
+def _loss_fn(cfg: DiffusionConfig, target, pred):
+    if cfg.loss_type == "l1":
+        return jnp.mean(jnp.abs(target - pred))
+    elif cfg.loss_type == "l2":
+        return jnp.mean((target - pred) ** 2)
+    else:  # l1ssim — NHWC hybrid L1 + 0.1*(1-SSIM), see utils.losses
+        from ..utils.losses import hybrid_l1_ssim
+        return hybrid_l1_ssim(pred, target)
+
+
+def p_losses(
+    cfg: DiffusionConfig,
+    sched: Schedule,
+    model_fn: ModelFn,
+    key: jax.Array,
+    x_start: jnp.ndarray,
+    cond: Optional[jnp.ndarray] = None,
+    *,
+    noise: Optional[jnp.ndarray] = None,
+    t: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Training loss (`diffusion_ddpm_pan.py:692-766`). Returns (loss, recon_x0).
+
+    The self-conditioning coin flip is batch-level (one flip per step, p=0.5)
+    exactly like the reference's `random.random() < 0.5`.
+    """
+    b = x_start.shape[0]
+    key_t, key_noise, key_coin, key_m1, key_m2 = jax.random.split(key, 5)
+    if t is None:
+        t = jax.random.randint(key_t, (b,), 0, sched.num_timesteps)
+    if noise is None:
+        noise = jax.random.normal(key_noise, x_start.shape, x_start.dtype)
+    x_noisy = q_sample(sched, x_start, t, noise)
+
+    if cfg.self_condition:
+        coin = jax.random.bernoulli(key_coin)
+
+        def with_self_cond(_):
+            # no-grad estimate of x0 with self_cond defaulting to x_noisy
+            out = model_fn(x_noisy, t, cond, x_noisy, key_m1)
+            return jax.lax.stop_gradient(
+                _prediction_to_x0(cfg, sched, x_noisy, t, out))
+
+        self_cond_input = jax.lax.cond(
+            coin, with_self_cond, lambda _: x_noisy, operand=None)
+    else:
+        self_cond_input = x_noisy  # model default(self_cond, x) semantics
+
+    model_predict = model_fn(x_noisy, t, cond, self_cond_input, key_m2)
+
+    if cfg.pred_mode == "noise":
+        recon_x0 = predict_start_from_noise(sched, x_noisy, t, model_predict)
+        loss = _loss_fn(cfg, noise, model_predict)
+    elif cfg.pred_mode == "x_start":
+        recon_x0 = model_predict
+        loss = _loss_fn(cfg, x_start, model_predict)
+    else:  # pred_v — recon from TRUE v, reference quirk (:733-735)
+        v = predict_v_from_start(sched, x_start, t, noise)
+        recon_x0 = predict_start_from_v(sched, x_noisy, t, v)
+        loss = _loss_fn(cfg, v, model_predict)
+
+    # p2 reweighting (`:762-764`): scalar loss broadcast against [b] weights.
+    loss = jnp.mean(loss * sched.p2_loss_weight[t])
+    return loss, recon_x0
+
+
+def p_mean_variance(cfg, sched, model_fn, x, t, cond, self_cond,
+                    clip_denoised: bool):
+    """p(x_{t-1}|x_t) parameters  (`diffusion_ddpm_pan.py:346-415`)."""
+    model_out = model_fn(x, t, cond, self_cond, None)
+    x_recon = _prediction_to_x0(cfg, sched, x, t, model_out)
+    if clip_denoised:
+        x_recon = _clip_x0(cfg, x_recon, cond)
+    mean, var, log_var = q_posterior(sched, x_recon, x, t)
+    return mean, var, log_var, x_recon
+
+
+def p_sample_loop(
+    cfg: DiffusionConfig,
+    sched: Schedule,
+    model_fn: ModelFn,
+    key: jax.Array,
+    cond: jnp.ndarray,
+    *,
+    clip_denoised: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Ancestral DDPM sampling (`diffusion_ddpm_pan.py:445-507`) as one
+    `lax.scan` — T model evals, fully on device."""
+    if clip_denoised is None:
+        clip_denoised = cfg.clamp_range is not None
+    b, h, w, _ = cond.shape
+    key, init_key = jax.random.split(key)
+    img = jax.random.normal(init_key, (b, h, w, cfg.channels))
+    ts = jnp.arange(sched.num_timesteps - 1, -1, -1)
+
+    def step(carry, t_scalar):
+        img, key = carry
+        key, nkey = jax.random.split(key)
+        t = jnp.full((b,), t_scalar, dtype=jnp.int32)
+        # self_cond == current noisy image in the reference loop (see module
+        # docstring), so pass img.
+        mean, _, log_var, _ = p_mean_variance(
+            cfg, sched, model_fn, img, t, cond, img, clip_denoised)
+        noise = jax.random.normal(nkey, img.shape, img.dtype)
+        nonzero = (t_scalar != 0).astype(img.dtype)
+        img = mean + nonzero * jnp.exp(0.5 * log_var) * noise
+        return (img, key), None
+
+    (img, _), _ = jax.lax.scan(step, (img, key), ts)
+    return img
+
+
+def ddim_step(cfg, sched, model_fn, x, t, cond, key, *, eta: float = 0.0,
+              clip_denoised: bool = False):
+    """One DDIM update (`diffusion_ddpm_pan.py:594-621`)."""
+    _, _, _, pred_x0 = p_mean_variance(
+        cfg, sched, model_fn, x, t, cond, x, clip_denoised)
+    eps = predict_noise_from_start(sched, x, t, pred_x0)
+    acp = _extract(sched.alphas_cumprod, t)
+    acp_prev = _extract(sched.alphas_cumprod_prev, t)
+    sigma = (eta * jnp.sqrt((1 - acp_prev) / (1 - acp))
+             * jnp.sqrt(1 - acp / acp_prev))
+    mean_pred = (pred_x0 * jnp.sqrt(acp_prev)
+                 + jnp.sqrt(1 - acp_prev - sigma ** 2) * eps)
+    noise = jax.random.normal(key, x.shape, x.dtype)
+    nonzero = (t != 0).astype(x.dtype)[:, None, None, None]
+    return mean_pred + nonzero * sigma * noise
+
+
+def ddim_sample_loop(
+    cfg: DiffusionConfig,
+    sched_respaced: Schedule,
+    model_fn: ModelFn,
+    key: jax.Array,
+    cond: jnp.ndarray,
+    *,
+    eta: float = 0.0,
+    clip_denoised: bool = False,
+) -> jnp.ndarray:
+    """DDIM sampling over an already-respaced schedule
+    (`diffusion_ddpm_pan.py:624-666`) as one `lax.scan`.
+
+    `sched_respaced` must come from `schedules.respace` — the denoiser sees the
+    respaced indices 0..T'-1, matching the reference. `clip_denoised=False`
+    matches the reference eval path exactly.
+    """
+    b, h, w, _ = cond.shape
+    key, init_key = jax.random.split(key)
+    img = jax.random.normal(init_key, (b, h, w, cfg.channels))
+    ts = jnp.arange(sched_respaced.num_timesteps - 1, -1, -1)
+
+    def step(carry, t_scalar):
+        img, key = carry
+        key, nkey = jax.random.split(key)
+        t = jnp.full((b,), t_scalar, dtype=jnp.int32)
+        img = ddim_step(cfg, sched_respaced, model_fn, img, t, cond, nkey,
+                        eta=eta, clip_denoised=clip_denoised)
+        return (img, key), None
+
+    (img, _), _ = jax.lax.scan(step, (img, key), ts)
+    return img

@@ -1,0 +1,252 @@
+"""Shared UNet building blocks (flax.linen, NHWC).
+
+Re-designed TPU-first from the reference blocks in
+`/root/reference/models/sr3_dwt.py:222-360` — everything is channel-last so
+convs/matmuls tile cleanly onto the MXU, and initialization matches PyTorch's
+defaults (kaiming-uniform, a=sqrt(5)) so training dynamics are comparable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+# ---------------------------------------------------------------------------
+# Initializers matching torch defaults (uniform(-1/sqrt(fan_in), +...)).
+# ---------------------------------------------------------------------------
+
+def torch_kernel_init(key, shape, dtype=jnp.float32):
+    """Conv kernel (kh, kw, in, out) or Dense kernel (in, out)."""
+    fan_in = int(np.prod(shape[:-1]))
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Conv(nn.Module):
+    """3x3/1x1 conv with torch-style explicit padding and init.
+
+    Explicit ((1,1),(1,1)) padding (not XLA 'SAME') so strided convs sample
+    the same positions as torch's Conv2d(padding=1).
+    """
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    use_bias: bool = True
+    feature_group_count: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        pad = (self.kernel_size - 1) // 2
+        fan_in = (self.kernel_size ** 2) * (in_ch // self.feature_group_count)
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            use_bias=self.use_bias,
+            feature_group_count=self.feature_group_count,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(fan_in),
+            name="conv",
+        )(x)
+
+
+class Dense(nn.Module):
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        return nn.Dense(
+            features=self.features, use_bias=self.use_bias,
+            kernel_init=torch_kernel_init, bias_init=torch_bias_init(fan_in),
+            name="dense")(x)
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def resize_bilinear(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """torch F.interpolate(mode='bilinear', align_corners=False) equivalent
+    (half-pixel centers, no antialias) — used to bring `cond` to each UNet
+    stage's resolution (`models/sr3_dwt.py:661-663`)."""
+    b, _, _, c = x.shape
+    return jax.image.resize(x, (b, h, w, c), method="bilinear",
+                            antialias=False)
+
+
+def resize_nearest(x: jnp.ndarray, scale: int = 2) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * scale, w * scale, c),
+                            method="nearest")
+
+
+class PositionalEncoding(nn.Module):
+    """WaveGrad-style noise-level encoding (`models/sr3_dwt.py:223-238`)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, noise_level):
+        count = self.dim // 2
+        step = jnp.arange(count, dtype=jnp.float32) / count
+        enc = (noise_level.astype(jnp.float32)[:, None]
+               * jnp.exp(-math.log(1e4) * step[None, :]))
+        return jnp.concatenate([jnp.sin(enc), jnp.cos(enc)], axis=-1)
+
+
+class NoiseLevelMLP(nn.Module):
+    """PositionalEncoding -> Linear(4x) -> Swish -> Linear
+    (`models/sr3_dwt.py:58-64`)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, t):
+        h = PositionalEncoding(self.dim, name="pos_enc")(t)
+        h = Dense(self.dim * 4, name="lin1")(h)
+        h = swish(h)
+        h = Dense(self.dim, name="lin2")(h)
+        return h
+
+
+class FeatureWiseAffine(nn.Module):
+    """Add (or FiLM) the time embedding into a feature map
+    (`models/sr3_dwt.py:241-258`)."""
+    out_channels: int
+    use_affine_level: bool = False
+
+    @nn.compact
+    def __call__(self, x, noise_embed):
+        mult = 2 if self.use_affine_level else 1
+        h = Dense(self.out_channels * mult, name="noise_func")(noise_embed)
+        h = h[:, None, None, :]
+        if self.use_affine_level:
+            gamma, beta = jnp.split(h, 2, axis=-1)
+            return (1 + gamma) * x + beta
+        return x + h
+
+
+class Block(nn.Module):
+    """GroupNorm -> Swish -> (Dropout) -> Conv3x3 (`models/sr3_dwt.py:288-300`)."""
+    dim_out: int
+    groups: int = 32
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(x)
+        h = swish(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=not train,
+                           name="drop")(h)
+        return Conv(self.dim_out, 3, name="conv")(h)
+
+
+class ResnetBlock(nn.Module):
+    """Two Blocks + time-embedding injection + skip conv
+    (`models/sr3_dwt.py:303-327`)."""
+    dim_out: int
+    dropout: float = 0.0
+    use_affine_level: bool = False
+    norm_groups: int = 32
+
+    @nn.compact
+    def __call__(self, x, time_emb, *, train: bool = False):
+        h = Block(self.dim_out, groups=self.norm_groups, name="block1")(
+            x, train=train)
+        h = FeatureWiseAffine(self.dim_out, self.use_affine_level,
+                              name="noise_func")(h, time_emb)
+        h = Block(self.dim_out, groups=self.norm_groups,
+                  dropout=self.dropout, name="block2")(h, train=train)
+        if x.shape[-1] != self.dim_out:
+            x = Conv(self.dim_out, 1, name="res_conv")(x)
+        return h + x
+
+
+class SelfAttention(nn.Module):
+    """Full HW x HW self-attention; only ever instantiated at 8x8 feature
+    maps in this model family (`models/sr3_dwt.py:330-360`).
+
+    Parity note: scores are scaled by 1/sqrt(total_channels), not
+    1/sqrt(head_dim), matching the reference.
+    """
+    n_head: int = 1
+    norm_groups: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        head_dim = c // self.n_head
+        norm = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
+                            name="norm")(x)
+        qkv = Conv(c * 3, 1, use_bias=False, name="qkv")(norm)
+        qkv = qkv.reshape(b, h * w, self.n_head, 3 * head_dim)
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # (b, hw, n_head, head_dim)
+        attn = jnp.einsum("bqnd,bknd->bnqk", q, k) / math.sqrt(c)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bnqk,bknd->bqnd", attn, v)
+        out = out.reshape(b, h, w, c)
+        out = Conv(c, 1, name="out")(out)
+        return out + x
+
+
+class Downsample(nn.Module):
+    """Strided 3x3 conv (`models/sr3_dwt.py:276-282`)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        return Conv(self.dim, 3, stride=2, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    """Nearest 2x + conv3x3 (`models/sr3_dwt.py:266-273`)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        return Conv(self.dim, 3, name="conv")(resize_nearest(x, 2))
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm DropPath semantics: keep-prob
+    scaling, mask on the batch axis)."""
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        if self.rate == 0.0 or not train:
+            return x
+        keep = 1.0 - self.rate
+        key = self.make_rng("dropout")
+        mask = jax.random.bernoulli(key, keep, (x.shape[0], 1, 1, 1))
+        return x * mask.astype(x.dtype) / keep
+
+
+def base2fourier_features(x: jnp.ndarray, freq_start=7, freq_stop=8,
+                          step=1) -> jnp.ndarray:
+    """Optional fourier input features (`models/sr3_dwt.py:14-27`), NHWC."""
+    freqs = list(range(freq_start, freq_stop, step))
+    w = jnp.asarray([2.0 ** f * 2 * math.pi for f in freqs], dtype=x.dtype)
+    # channel-interleave like torch repeat_interleave on the channel axis
+    h = jnp.repeat(x, len(freqs), axis=-1)
+    w_full = jnp.tile(w, x.shape[-1])
+    h = h * w_full[None, None, None, :]
+    return jnp.concatenate([jnp.sin(h), jnp.cos(h)], axis=-1)

@@ -1,0 +1,317 @@
+"""UNetSR3-DWT — the flagship denoiser with disentangled modulations.
+
+TPU-native (NHWC, flax.linen) re-design of the reference model
+`/root/reference/models/sr3_dwt.py:30-219` (blocks `:222-673`):
+
+  * encoder ResBlocks get the coarse condition slice ``cond[..., :C_lms+C_pan]``
+    = [lms, pan] injected FiLM-style (**CSM**, reference `:376-396`);
+  * decoder ResBlocks get the wavelet slice ``cond[..., -(C_lms+3*C_pan):]``
+    = [lms_LL, pan_H, pan_D, pan_V] injected via linear cross-attention
+    (**FWM**, reference `:493-577`);
+  * full self-attention only at the `attn_res` (8x8) feature maps;
+  * self-conditioning concatenates an x0 estimate onto the input (`:171-174`).
+
+Parity details preserved: GroupNorm(1), zero-init of the CSM's last conv
+(`:386-387`), q softmax over H / k softmax over W in the linear attention
+(`:545-546`), scale 1/sqrt(qkv_dim/nheads), DropPath 0.2 on the FWM FFN,
+bilinear (align_corners=False) resize of cond to each stage.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+from flax import linen as nn
+
+from .common import (
+    Block, Conv, Downsample, DropPath, NoiseLevelMLP, ResnetBlock,
+    SelfAttention, Upsample, base2fourier_features, resize_bilinear, swish,
+)
+
+
+class CondInjection(nn.Module):
+    """CSM: conv3x3 -> GN -> SiLU -> zero-init conv1x1 -> (scale, shift)
+    FiLM injection (`models/sr3_dwt.py:376-396`)."""
+    hidden_dim: int
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x, cond):
+        h = Conv(self.hidden_dim * 4, 3, use_bias=False, name="body_conv1")(
+            cond)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         name="body_norm")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.hidden_dim * 2, (1, 1), use_bias=True,
+                    kernel_init=nn.initializers.zeros,
+                    bias_init=nn.initializers.zeros, name="body_conv2")(h)
+        scale, shift = jnp.split(h, 2, axis=-1)
+        x = Conv(self.hidden_dim, 1, name="x_conv")(x)
+        return x * (1 + scale) + shift
+
+
+class FastAttnCondInjection(nn.Module):
+    """FWM: linear cross-attention from the wavelet condition
+    (`models/sr3_dwt.py:493-577`).
+
+    q from x (depthwise3x3 + 1x1), k/v from cond; q softmax over the H axis,
+    k softmax over the W axis (reference quirk — softmax is applied BEFORE
+    flattening spatial dims, `:545-546`); c x c context matrix => cost linear
+    in pixels, MXU-friendly (two small matmuls per head).
+    """
+    qkv_dim: int
+    dim_out: int
+    groups: int = 32
+    nheads: int = 8
+    drop_path_prob: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, cond, *, train: bool = False):
+        fea_dim = x.shape[-1]
+        assert fea_dim % self.nheads == 0
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         name="prenorm_x")(x)
+
+        q = Conv(fea_dim, 3, use_bias=False, feature_group_count=fea_dim,
+                 name="q_dw")(x)
+        q = Conv(self.qkv_dim, 1, name="q_pw")(q)
+        kv = Conv(cond.shape[-1], 3, use_bias=False,
+                  feature_group_count=cond.shape[-1], name="kv_dw")(cond)
+        kv = Conv(self.qkv_dim * 2, 1, name="kv_pw")(kv)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        # NHWC: H is axis 1, W is axis 2 (reference softmaxes NCHW dims -2/-1)
+        q = jax.nn.softmax(q, axis=1)
+        k = jax.nn.softmax(k, axis=2)
+
+        scale = 1.0 / math.sqrt(self.qkv_dim // self.nheads)
+        q = rearrange(q, "b H W (h d) -> b h d (H W)", h=self.nheads) * scale
+        k = rearrange(k, "b H W (h d) -> b h d (H W)", h=self.nheads)
+        v = rearrange(v, "b H W (h d) -> b h d (H W)", h=self.nheads)
+
+        context = jnp.einsum("bhdn,bhen->bhde", k, v)
+        out = jnp.einsum("bhde,bhdn->bhen", context, q)
+        out = rearrange(out, "b h d (H W) -> b H W (h d)", H=x.shape[1])
+
+        attn_out = Conv(self.dim_out, 1, name="attn_out")(out)
+        if fea_dim != self.dim_out:
+            attn_out = attn_out + Conv(self.dim_out, 1, name="attn_res")(x)
+        else:
+            attn_out = attn_out + x
+
+        ffn = Conv(self.dim_out * 2, 3, use_bias=False, name="ffn_conv1")(
+            attn_out)
+        ffn = nn.silu(ffn)
+        ffn = Conv(self.dim_out, 3, use_bias=False, name="ffn_conv2")(ffn)
+        ffn = Conv(self.dim_out, 1, name="ffn_conv3")(ffn)
+        ffn = DropPath(self.drop_path_prob, name="ffn_drop_path")(
+            ffn, train=train)
+        return ffn + attn_out
+
+
+class FreqCondInjection(nn.Module):
+    """FFT amplitude/phase cross-attention variant
+    (`models/sr3_dwt.py:399-490`) — present in the reference but unused by
+    the engine config; kept for capability parity."""
+    qkv_dim: int
+    dim_out: int
+    groups: int = 32
+    nheads: int = 8
+    drop_path_prob: float = 0.2
+
+    def _attn_op(self, q, k, v):
+        scale = 1.0 / math.sqrt(self.qkv_dim // self.nheads)
+        b, h, xf, yf = q.shape[0], self.nheads, q.shape[1], q.shape[2]
+        q, k, v = (rearrange(t, "b X Y (h c) -> b h c (X Y)", h=h)
+                   for t in (q, k, v))
+        sim = jnp.einsum("bhcm,bhcn->bhmn", q, k) * scale
+        sim = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bhmn,bhcn->bhcm", sim, v)
+        return rearrange(out, "b h c (X Y) -> b X Y (h c)", X=xf, Y=yf)
+
+    @nn.compact
+    def __call__(self, x, cond, *, train: bool = False):
+        fea_dim = x.shape[-1]
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         name="prenorm_x")(x)
+        q = Conv(fea_dim, 3, use_bias=False, feature_group_count=fea_dim,
+                 name="q_dw")(x)
+        q = Conv(self.qkv_dim, 1, name="q_pw")(q)
+        kv = Conv(cond.shape[-1], 3, use_bias=False,
+                  feature_group_count=cond.shape[-1], name="kv_dw")(cond)
+        kv = Conv(self.qkv_dim * 2, 1, name="kv_pw")(kv)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        def l2norm(t):
+            return t / jnp.sqrt(
+                jnp.sum(t ** 2, axis=-1, keepdims=True) + 1e-12)
+
+        q, k, v = l2norm(q), l2norm(k), l2norm(v)
+        # rfft over spatial dims (NHWC axes 1, 2)
+        qf = jnp.fft.rfft2(q, axes=(1, 2), norm="ortho")
+        kf = jnp.fft.rfft2(k, axes=(1, 2), norm="ortho")
+        vf = jnp.fft.rfft2(v, axes=(1, 2), norm="ortho")
+
+        amp = self._attn_op(jnp.abs(qf), jnp.abs(kf), jnp.abs(vf))
+        phase = self._attn_op(jnp.angle(qf), jnp.angle(kf), jnp.angle(vf))
+        outf = amp * jnp.exp(1j * phase)
+        out = jnp.fft.irfft2(outf, s=(x.shape[1], x.shape[2]), axes=(1, 2),
+                             norm="ortho")
+
+        attn_out = Conv(self.dim_out, 1, name="attn_out")(out)
+        if fea_dim != self.dim_out:
+            attn_out = attn_out + Conv(self.dim_out, 1, name="attn_res")(x)
+        else:
+            attn_out = attn_out + x
+        ffn = Conv(self.dim_out * 2, 3, use_bias=False, name="ffn_conv1")(
+            attn_out)
+        ffn = nn.silu(ffn)
+        ffn = Conv(self.dim_out, 3, use_bias=False, name="ffn_conv2")(ffn)
+        ffn = Conv(self.dim_out, 1, name="ffn_conv3")(ffn)
+        ffn = DropPath(self.drop_path_prob, name="ffn_drop_path")(
+            ffn, train=train)
+        return ffn + attn_out
+
+
+class ResnetBlocWithAttn(nn.Module):
+    """Cond injection (CSM encoder / FWM decoder) + ResnetBlock + optional
+    self-attention (`models/sr3_dwt.py:614-673`)."""
+    dim_out: int
+    cond_dim: Optional[int] = None
+    norm_groups: int = 32
+    dropout: float = 0.0
+    with_attn: bool = False
+    encoder: bool = True
+
+    @nn.compact
+    def __call__(self, x, time_emb, cond=None, *, train: bool = False):
+        if self.cond_dim is not None:
+            c = resize_bilinear(cond, x.shape[1], x.shape[2])
+            if self.encoder:
+                x = CondInjection(hidden_dim=self.dim_out,
+                                  groups=self.norm_groups, name="cond_inj")(
+                    x, c)
+            else:
+                x = FastAttnCondInjection(
+                    qkv_dim=x.shape[-1], dim_out=self.dim_out,
+                    groups=self.norm_groups, nheads=8, drop_path_prob=0.2,
+                    name="cond_inj")(x, c, train=train)
+        x = ResnetBlock(self.dim_out, dropout=self.dropout,
+                        norm_groups=self.norm_groups, name="res_block")(
+            x, time_emb, train=train)
+        if self.with_attn:
+            x = SelfAttention(n_head=8, norm_groups=self.norm_groups,
+                              name="attn")(x)
+        return x
+
+
+class UNetSR3DWT(nn.Module):
+    """The engine's model config (`diffusion_engine.py:121-133`):
+    inner_channel=32, norm_groups=1, channel_mults=(1,2,2,4), attn_res=(8,),
+    res_blocks=3, dropout=0.2, self_condition=True.
+
+    cond layout (NHWC last axis): [lms(C), pan(P), lms_LL(C), pan_H(P),
+    pan_D(P), pan_V(P)]; encoder slice = first C+P channels, decoder slice =
+    last C+3P channels (`models/sr3_dwt.py:196-198,212-215`).
+    """
+    in_channel: int = 8
+    out_channel: int = 3
+    inner_channel: int = 32
+    lms_channel: int = 8
+    pan_channel: int = 1
+    norm_groups: int = 32
+    channel_mults: Sequence[int] = (1, 2, 4, 8, 8)
+    attn_res: Sequence[int] = (8,)
+    res_blocks: int = 3
+    dropout: float = 0.0
+    with_noise_level_emb: bool = True
+    image_size: int = 128
+    self_condition: bool = False
+    fourier_features: bool = False
+    fourier_min: int = 7
+    fourier_max: int = 8
+    fourier_step: int = 1
+    pred_var: bool = False
+
+    @nn.compact
+    def __call__(self, x, time, cond=None, self_cond=None, *,
+                 train: bool = False):
+        if self.self_condition:
+            if self_cond is None:
+                self_cond = x
+            x = jnp.concatenate([self_cond, x], axis=-1)
+        if self.fourier_features:
+            x = jnp.concatenate(
+                [x, base2fourier_features(x, self.fourier_min,
+                                          self.fourier_max,
+                                          self.fourier_step)], axis=-1)
+
+        t = (NoiseLevelMLP(self.inner_channel, name="noise_level_mlp")(time)
+             if self.with_noise_level_emb else None)
+
+        enc_cond_dim = self.lms_channel + self.pan_channel
+        dec_cond_dim = self.lms_channel + self.pan_channel * 3
+        cond_enc = cond[..., :enc_cond_dim] if cond is not None else None
+        cond_dec = cond[..., -dec_cond_dim:] if cond is not None else None
+
+        num_mults = len(self.channel_mults)
+        now_res = self.image_size
+
+        # --- encoder ---------------------------------------------------
+        x = Conv(self.inner_channel, 3, name="head_conv")(x)
+        feats = [x]
+        feat_channels = [self.inner_channel]
+        pre_channel = self.inner_channel
+        for ind in range(num_mults):
+            is_last = ind == num_mults - 1
+            use_attn = now_res in self.attn_res
+            channel_mult = self.inner_channel * self.channel_mults[ind]
+            for blk in range(self.res_blocks):
+                x = ResnetBlocWithAttn(
+                    dim_out=channel_mult, cond_dim=enc_cond_dim,
+                    norm_groups=self.norm_groups, dropout=self.dropout,
+                    with_attn=use_attn, encoder=True,
+                    name=f"down_{ind}_{blk}")(x, t, cond_enc, train=train)
+                feats.append(x)
+                feat_channels.append(channel_mult)
+                pre_channel = channel_mult
+            if not is_last:
+                x = Downsample(pre_channel, name=f"downsample_{ind}")(x)
+                feats.append(x)
+                feat_channels.append(pre_channel)
+                now_res //= 2
+
+        # --- middle -----------------------------------------------------
+        x = ResnetBlocWithAttn(
+            dim_out=pre_channel, norm_groups=self.norm_groups,
+            dropout=self.dropout, with_attn=True, name="mid_0")(
+            x, t, train=train)
+        x = ResnetBlocWithAttn(
+            dim_out=pre_channel, norm_groups=self.norm_groups,
+            dropout=self.dropout, with_attn=False, name="mid_1")(
+            x, t, train=train)
+
+        # --- decoder ----------------------------------------------------
+        for ind in reversed(range(num_mults)):
+            is_last = ind < 1
+            use_attn = now_res in self.attn_res
+            channel_mult = self.inner_channel * self.channel_mults[ind]
+            for blk in range(self.res_blocks + 1):
+                skip = feats.pop()
+                x = ResnetBlocWithAttn(
+                    dim_out=channel_mult, cond_dim=dec_cond_dim,
+                    norm_groups=self.norm_groups, dropout=self.dropout,
+                    with_attn=use_attn, encoder=False,
+                    name=f"up_{ind}_{blk}")(
+                    jnp.concatenate([x, skip], axis=-1), t, cond_dec,
+                    train=train)
+            if not is_last:
+                x = Upsample(channel_mult, name=f"upsample_{ind}")(x)
+                now_res *= 2
+
+        return Block(self.out_channel, groups=self.norm_groups,
+                     name="final_conv")(x, train=train)

@@ -1,10 +1,11 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set the env vars BEFORE jax is imported anywhere.
+Note: this environment pins JAX_PLATFORMS=axon via sitecustomize, so the env
+var cannot be overridden from here — use jax.config instead. XLA_FLAGS must
+still be set before jax initializes its backends.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,4 +13,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def pytest_sessionstart(session):
+    assert jax.default_backend() == "cpu", "tests must run on CPU"
+    assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"

@@ -1,0 +1,1 @@
+from .wavelet import haar_dwt2, haar_idwt2, haar_dwt2_nhwc, wavelet_cond_pack

@@ -1,0 +1,99 @@
+"""Data pipeline tests: dataset loaders on synthetic h5-layout fixtures,
+batch iteration, prefetch, cond packing."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from difpan_tpu.data import (
+    HISRDataSets, PanDataset, batch_iterator, device_prefetch,
+    get_dataset_spec, make_synthetic_hisr_h5, make_synthetic_pan_h5,
+    pack_cond,
+)
+
+
+def test_registry():
+    wv3 = get_dataset_spec("wv3")
+    assert wv3.n_channels == 8 and wv3.division == 2047.0
+    assert get_dataset_spec("gf2").division == 1023.0
+    assert get_dataset_spec("cave").pan_channels == 3
+    import pytest
+    with pytest.raises(NotImplementedError):
+        get_dataset_spec("nope")
+
+
+def test_pan_dataset_reduced():
+    d = make_synthetic_pan_h5(n=6, channels=4, size=64, division=1023.0)
+    ds = PanDataset(d, norm_range=False, division=1023.0, wavelets=True)
+    assert len(ds) == 6
+    pan, lms, gt, wav = ds[0]
+    assert pan.shape == (64, 64, 1)
+    assert lms.shape == (64, 64, 4)
+    assert gt.shape == (64, 64, 4)
+    assert wav.shape == (32, 32, 4 + 3)  # lms_LL(4) + pan H,D,V(3)
+    assert 0 <= gt.min() and gt.max() <= 1.0 + 1e-6
+    # wavelet LL of [0,1]-ranged data is ~2x range (1/sqrt2 twice per axis)
+    assert wav[..., :4].max() <= 2.1
+
+
+def test_pan_dataset_full_res():
+    d = make_synthetic_pan_h5(n=4, channels=4, size=64, full_res=True)
+    ds = PanDataset(d, norm_range=False, division=1023.0, full_res=True,
+                    wavelets=True)
+    pan, lms, wav = ds[0]
+    assert not hasattr(ds, "gt")
+    assert pan.shape == (64, 64, 1) and lms.shape == (64, 64, 4)
+
+
+def test_pan_dataset_highpass():
+    d = make_synthetic_pan_h5(n=2, channels=4, size=32)
+    ds = PanDataset(d, norm_range=False, division=1023.0, hp=True,
+                    wavelets=False)
+    # high-pass removes local mean -> near-zero average
+    assert abs(ds.pan.mean()) < 0.05
+
+
+def test_hisr_dataset():
+    d = make_synthetic_hisr_h5(n=3, bands=31, size=64)
+    ds = HISRDataSets(d, wavelets=True)
+    rgb, hsi_up, gt, wav = ds[1]
+    assert rgb.shape == (64, 64, 3)
+    assert hsi_up.shape == (64, 64, 31)
+    assert gt.shape == (64, 64, 31)
+    assert wav.shape == (32, 32, 31 + 9)  # hsi_LL(31) + rgb H,V,D(9)
+
+
+def test_batch_iterator_shapes_and_epochs():
+    d = make_synthetic_pan_h5(n=10, channels=4, size=32)
+    ds = PanDataset(d, norm_range=False, division=1023.0, wavelets=True)
+    batches = list(batch_iterator(ds, 4, epochs=1, drop_remainder=True))
+    assert len(batches) == 2
+    pan, lms, gt, wav = batches[0]
+    assert pan.shape == (4, 32, 32, 1) and wav.shape == (4, 16, 16, 7)
+    # without drop_remainder: 3 batches (4+4+2)
+    batches = list(batch_iterator(ds, 4, epochs=1))
+    assert [b[0].shape[0] for b in batches] == [4, 4, 2]
+
+
+def test_batch_iterator_augmentation():
+    d = make_synthetic_pan_h5(n=8, channels=4, size=32)
+    ds = PanDataset(d, norm_range=False, division=1023.0, wavelets=True,
+                    aug_prob=1.0)
+    (pan, lms, gt, wav), = list(batch_iterator(ds, 8, epochs=1,
+                                               shuffle=False))
+    # aug_prob=1 -> both flips applied to every sample, consistently
+    np.testing.assert_allclose(pan, ds.pan[:, ::-1, ::-1], atol=1e-7)
+    np.testing.assert_allclose(gt, ds.gt[:, ::-1, ::-1], atol=1e-7)
+
+
+def test_device_prefetch_and_pack_cond():
+    d = make_synthetic_pan_h5(n=4, channels=4, size=32)
+    ds = PanDataset(d, norm_range=False, division=1023.0, wavelets=True)
+    it = device_prefetch(batch_iterator(ds, 2, epochs=1, drop_remainder=True))
+    batches = list(it)
+    assert len(batches) == 2
+    pan, lms, gt, wav = batches[0]
+    assert isinstance(pan, jax.Array)
+    cond = pack_cond(lms, pan, wav)
+    assert cond.shape == (2, 32, 32, 4 + 1 + 7)
+    # first channels are lms verbatim
+    np.testing.assert_allclose(np.asarray(cond[..., :4]), np.asarray(lms))

@@ -1,0 +1,711 @@
+"""DPM-Solver / DPM-Solver++ (orders 1-3; multistep, singlestep,
+singlestep_fixed, adaptive) — TPU-native re-design of
+`/root/reference/solver/dpm_solver.py:6-1253`.
+
+Key structural difference from the reference: sampling timesteps are STATIC,
+so every per-step scalar (lambda, sigma, alpha, expm1 coefficients, solver
+mixing weights) is precomputed on the host in float64 and fed to a single
+`lax.scan` whose body contains exactly ONE model evaluation — the whole
+20-step chain compiles to one device program with no host round-trips
+(`BASELINE.md` north-star), and the denoiser body is traced once instead of
+20 times.
+
+Math parity: the update rules follow the reference exactly —
+first-order `:577-599`, singlestep 2nd/3rd `:602-802`, multistep 2nd/3rd
+`:804-912`, adaptive `:964-1018`, timestep spacing `:461-488`, the
+model wrapper's 4 parameterizations + 3 guidance modes `:178-342`, and the
+discrete-time input convention t_input = (t - 1/N)*1000 (`:285-291`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class NoiseScheduleVP:
+    """Forward-SDE (VP) wrapper; 'discrete' uses piecewise-linear
+    interpolation of log alpha (`dpm_solver.py:102-116`; interp matches
+    `interpolate_fn :1261-1300` for in-range inputs).
+
+    Host planning runs in float64 numpy (`*_np` methods); traced usage (the
+    model wrapper) uses jnp equivalents.
+    """
+
+    def __init__(self, schedule: str = "discrete", betas=None,
+                 alphas_cumprod=None, continuous_beta_0: float = 0.1,
+                 continuous_beta_1: float = 20.0):
+        if schedule not in ("discrete", "linear", "cosine"):
+            raise ValueError(f"Unsupported noise schedule {schedule}")
+        self.schedule = schedule
+        if schedule == "discrete":
+            if betas is not None:
+                log_alphas = 0.5 * np.cumsum(
+                    np.log(1 - np.asarray(betas, dtype=np.float64)))
+            else:
+                assert alphas_cumprod is not None
+                log_alphas = 0.5 * np.log(
+                    np.asarray(alphas_cumprod, dtype=np.float64))
+            self.total_N = len(log_alphas)
+            self.T = 1.0
+            self.t_array = np.linspace(0.0, 1.0, self.total_N + 1)[1:]
+            self.log_alpha_array = log_alphas
+        else:
+            self.total_N = 1000
+            self.beta_0 = continuous_beta_0
+            self.beta_1 = continuous_beta_1
+            self.cosine_s = 0.008
+            self.cosine_beta_max = 999.0
+            self.cosine_t_max = (
+                math.atan(self.cosine_beta_max * (1.0 + self.cosine_s)
+                          / math.pi) * 2.0 * (1.0 + self.cosine_s) / math.pi
+                - self.cosine_s)
+            self.cosine_log_alpha_0 = math.log(
+                math.cos(self.cosine_s / (1.0 + self.cosine_s) * math.pi / 2))
+            self.T = 0.9946 if schedule == "cosine" else 1.0
+
+    # ---- float64 host versions (planning) ------------------------------
+    def marginal_log_mean_coeff_np(self, t):
+        t = np.asarray(t, dtype=np.float64)
+        if self.schedule == "discrete":
+            return np.interp(t, self.t_array, self.log_alpha_array)
+        elif self.schedule == "linear":
+            return (-0.25 * t ** 2 * (self.beta_1 - self.beta_0)
+                    - 0.5 * t * self.beta_0)
+        else:
+            return (np.log(np.cos((t + self.cosine_s) / (1 + self.cosine_s)
+                                  * math.pi / 2))
+                    - self.cosine_log_alpha_0)
+
+    def marginal_alpha_np(self, t):
+        return np.exp(self.marginal_log_mean_coeff_np(t))
+
+    def marginal_std_np(self, t):
+        return np.sqrt(1.0 - np.exp(2.0 * self.marginal_log_mean_coeff_np(t)))
+
+    def marginal_lambda_np(self, t):
+        log_mean = self.marginal_log_mean_coeff_np(t)
+        return log_mean - 0.5 * np.log(1.0 - np.exp(2.0 * log_mean))
+
+    def inverse_lambda_np(self, lamb):
+        lamb = np.asarray(lamb, dtype=np.float64)
+        if self.schedule == "linear":
+            tmp = (2.0 * (self.beta_1 - self.beta_0)
+                   * np.logaddexp(-2.0 * lamb, 0.0))
+            delta = self.beta_0 ** 2 + tmp
+            return tmp / (np.sqrt(delta) + self.beta_0) / (
+                self.beta_1 - self.beta_0)
+        elif self.schedule == "discrete":
+            log_alpha = -0.5 * np.logaddexp(0.0, -2.0 * lamb)
+            # log_alpha decreasing in t -> interp on reversed arrays
+            return np.interp(log_alpha, self.log_alpha_array[::-1],
+                             self.t_array[::-1])
+        else:
+            log_alpha = -0.5 * np.logaddexp(-2.0 * lamb, 0.0)
+            return (np.arccos(np.exp(log_alpha + self.cosine_log_alpha_0))
+                    * 2.0 * (1.0 + self.cosine_s) / math.pi - self.cosine_s)
+
+    # ---- jnp versions (traced; used by model_wrapper) -------------------
+    def marginal_log_mean_coeff(self, t):
+        if self.schedule == "discrete":
+            return jnp.interp(t, jnp.asarray(self.t_array, jnp.float32),
+                              jnp.asarray(self.log_alpha_array, jnp.float32))
+        elif self.schedule == "linear":
+            return (-0.25 * t ** 2 * (self.beta_1 - self.beta_0)
+                    - 0.5 * t * self.beta_0)
+        else:
+            return (jnp.log(jnp.cos((t + self.cosine_s) / (1 + self.cosine_s)
+                                    * math.pi / 2))
+                    - self.cosine_log_alpha_0)
+
+    def marginal_alpha(self, t):
+        return jnp.exp(self.marginal_log_mean_coeff(t))
+
+    def marginal_std(self, t):
+        return jnp.sqrt(1.0 - jnp.exp(2.0 * self.marginal_log_mean_coeff(t)))
+
+    def marginal_lambda(self, t):
+        log_mean = self.marginal_log_mean_coeff(t)
+        return log_mean - 0.5 * jnp.log(1.0 - jnp.exp(2.0 * log_mean))
+
+    def inverse_lambda(self, lamb):
+        if self.schedule == "discrete":
+            log_alpha = -0.5 * jnp.logaddexp(0.0, -2.0 * lamb)
+            return jnp.interp(
+                log_alpha,
+                jnp.asarray(self.log_alpha_array[::-1].copy(), jnp.float32),
+                jnp.asarray(self.t_array[::-1].copy(), jnp.float32))
+        elif self.schedule == "linear":
+            tmp = (2.0 * (self.beta_1 - self.beta_0)
+                   * jnp.logaddexp(-2.0 * lamb, 0.0))
+            delta = self.beta_0 ** 2 + tmp
+            return tmp / (jnp.sqrt(delta) + self.beta_0) / (
+                self.beta_1 - self.beta_0)
+        else:
+            log_alpha = -0.5 * jnp.logaddexp(-2.0 * lamb, 0.0)
+            return (jnp.arccos(jnp.exp(log_alpha + self.cosine_log_alpha_0))
+                    * 2.0 * (1.0 + self.cosine_s) / math.pi - self.cosine_s)
+
+
+def model_wrapper(
+    model: Callable,
+    noise_schedule: NoiseScheduleVP,
+    model_type: str = "noise",
+    model_kwargs: Optional[dict] = None,
+    guidance_type: str = "uncond",
+    condition=None,
+    unconditional_condition=None,
+    guidance_scale: float = 1.0,
+    classifier_fn: Optional[Callable] = None,
+    classifier_kwargs: Optional[dict] = None,
+):
+    """Wrap a noise/x_start/v/score model (+ uncond / classifier /
+    classifier-free guidance) into ``model_fn(x, t_continuous) -> noise``
+    (`dpm_solver.py:178-342`)."""
+    assert model_type in ("noise", "x_start", "v", "score")
+    assert guidance_type in ("uncond", "classifier", "classifier-free")
+    model_kwargs = model_kwargs or {}
+    classifier_kwargs = classifier_kwargs or {}
+    ns = noise_schedule
+
+    def get_model_input_time(t_continuous):
+        if ns.schedule == "discrete":
+            return (t_continuous - 1.0 / ns.total_N) * 1000.0
+        return t_continuous
+
+    def expand(v, x):
+        return jnp.reshape(v, (-1,) + (1,) * (x.ndim - 1))
+
+    def noise_pred_fn(x, t_continuous, cond=None):
+        t_input = get_model_input_time(t_continuous)
+        if cond is None:
+            output = model(x, t_input, **model_kwargs)
+        else:
+            output = model(x, t_input, cond, **model_kwargs)
+        if model_type == "noise":
+            return output
+        elif model_type == "x_start":
+            alpha_t = expand(ns.marginal_alpha(t_continuous), x)
+            sigma_t = expand(ns.marginal_std(t_continuous), x)
+            return (x - alpha_t * output) / sigma_t
+        elif model_type == "v":
+            alpha_t = expand(ns.marginal_alpha(t_continuous), x)
+            sigma_t = expand(ns.marginal_std(t_continuous), x)
+            return alpha_t * output + sigma_t * x
+        else:  # score
+            sigma_t = expand(ns.marginal_std(t_continuous), x)
+            return -sigma_t * output
+
+    def model_fn(x, t_continuous):
+        if guidance_type == "uncond":
+            return noise_pred_fn(x, t_continuous)
+        elif guidance_type == "classifier":
+            assert classifier_fn is not None
+            t_input = get_model_input_time(t_continuous)
+
+            def log_prob(xi):
+                return jnp.sum(classifier_fn(xi, t_input, condition,
+                                             **classifier_kwargs))
+
+            cond_grad = jax.grad(log_prob)(x)
+            sigma_t = expand(ns.marginal_std(t_continuous), x)
+            noise = noise_pred_fn(x, t_continuous)
+            return noise - guidance_scale * sigma_t * cond_grad
+        else:  # classifier-free
+            if guidance_scale == 1.0 or unconditional_condition is None:
+                return noise_pred_fn(x, t_continuous, cond=condition)
+            x_in = jnp.concatenate([x, x])
+            t_in = jnp.concatenate([t_continuous, t_continuous])
+            c_in = jnp.concatenate([unconditional_condition, condition])
+            out = noise_pred_fn(x_in, t_in, cond=c_in)
+            noise_uncond, noise = jnp.split(out, 2)
+            return noise_uncond + guidance_scale * (noise - noise_uncond)
+
+    return model_fn
+
+
+def _expand_multistep_coeffs(ns, t_prev: Sequence[float], t: float,
+                             order: int, algorithm_type: str,
+                             solver_type: str):
+    """Expand a multistep update into (c_x, c0, c1, c2): coefficients on
+    (x, model_prev_0, model_prev_1, model_prev_2). Host float64 math,
+    formula parity with `dpm_solver.py:577-599,804-912`."""
+    lam = [ns.marginal_lambda_np(tp) for tp in t_prev]
+    lam_t = ns.marginal_lambda_np(t)
+    sigma_p0 = ns.marginal_std_np(t_prev[-1])
+    sigma_t = ns.marginal_std_np(t)
+    log_a_p0 = ns.marginal_log_mean_coeff_np(t_prev[-1])
+    log_a_t = ns.marginal_log_mean_coeff_np(t)
+    alpha_t = np.exp(log_a_t)
+    h = lam_t - lam[-1]
+
+    pp = algorithm_type == "dpmsolver++"
+    if pp:
+        c_x = sigma_t / sigma_p0
+        phi_1 = np.expm1(-h)
+        B = alpha_t * phi_1          # multiplies -(model terms)
+    else:
+        c_x = np.exp(log_a_t - log_a_p0)
+        phi_1 = np.expm1(h)
+        B = sigma_t * phi_1
+
+    c = np.zeros(3)
+    if order == 1:
+        c[0] = -B
+    elif order == 2:
+        h_0 = lam[-1] - lam[-2]
+        r0 = h_0 / h
+        # D1_0 = (m0 - m1)/r0
+        if solver_type == "dpmsolver":
+            c[0], c[1] = -B - 0.5 * B / r0, 0.5 * B / r0
+        else:  # taylor
+            A = (alpha_t * (phi_1 / h + 1.0) if pp
+                 else -(sigma_t * (phi_1 / h - 1.0)))
+            c[0], c[1] = -B + A / r0, -A / r0
+    elif order == 3:
+        h_1 = lam[-2] - lam[-3]
+        h_0 = lam[-1] - lam[-2]
+        r0, r1 = h_0 / h, h_1 / h
+        if pp:
+            phi_2 = phi_1 / h + 1.0
+            phi_3 = phi_2 / h - 0.5
+            P2, P3 = alpha_t * phi_2, -alpha_t * phi_3
+        else:
+            phi_2 = phi_1 / h - 1.0
+            phi_3 = phi_2 / h - 0.5
+            P2, P3 = -sigma_t * phi_2, -sigma_t * phi_3
+        # D1 = D1_0 + (r0/(r0+r1))(D1_0 - D1_1); D2 = (D1_0 - D1_1)/(r0+r1)
+        # D1_0 = (m0-m1)/r0 ; D1_1 = (m1-m2)/r1
+        w = r0 / (r0 + r1)
+        d10 = np.array([1.0 / r0, -1.0 / r0, 0.0])
+        d11 = np.array([0.0, 1.0 / r1, -1.0 / r1])
+        D1 = d10 + w * (d10 - d11)
+        D2 = (d10 - d11) / (r0 + r1)
+        c = P2 * D1 + P3 * D2
+        c[0] += -B
+    else:
+        raise ValueError(order)
+    return float(c_x), float(c[0]), float(c[1]), float(c[2])
+
+
+class DPMSolver:
+    """DPM-Solver(++) sampler. Construct with the wrapped noise-prediction
+    `model_fn` and a `NoiseScheduleVP`; `sample(...)` is fully jittable
+    (wrap it or a closure over it in `jax.jit`)."""
+
+    def __init__(self, model_fn, noise_schedule: NoiseScheduleVP,
+                 algorithm_type: str = "dpmsolver++",
+                 correcting_x0_fn=None,
+                 thresholding_max_val: float = 1.0,
+                 dynamic_thresholding_ratio: float = 0.995):
+        assert algorithm_type in ("dpmsolver", "dpmsolver++")
+        self.model_fn_raw = model_fn
+        self.ns = noise_schedule
+        self.algorithm_type = algorithm_type
+        if correcting_x0_fn == "dynamic_thresholding":
+            self.correcting_x0_fn = self._dynamic_thresholding
+        else:
+            self.correcting_x0_fn = correcting_x0_fn
+        self.thresholding_max_val = thresholding_max_val
+        self.dynamic_thresholding_ratio = dynamic_thresholding_ratio
+
+    def _dynamic_thresholding(self, x0, t=None):
+        """`dpm_solver.py:424-433`."""
+        p = self.dynamic_thresholding_ratio
+        s = jnp.quantile(jnp.abs(x0).reshape(x0.shape[0], -1), p, axis=1)
+        s = jnp.maximum(s, self.thresholding_max_val)
+        s = s.reshape((-1,) + (1,) * (x0.ndim - 1))
+        return jnp.clip(x0, -s, s) / s
+
+    def _model(self, x, t_scalar):
+        """Data prediction (dpmsolver++) or noise prediction (dpmsolver),
+        with x0 corrector (`dpm_solver.py:437-456`). t_scalar broadcasts to
+        the batch."""
+        t = jnp.full((x.shape[0],), t_scalar, dtype=jnp.float32)
+        noise = self.model_fn_raw(x, t)
+        if self.algorithm_type == "dpmsolver++":
+            alpha_t = self.ns.marginal_alpha(t_scalar)
+            sigma_t = self.ns.marginal_std(t_scalar)
+            x0 = (x - sigma_t * noise) / alpha_t
+            if self.correcting_x0_fn is not None:
+                x0 = self.correcting_x0_fn(x0, t_scalar)
+            return x0
+        return noise
+
+    # ---- timestep planning (host) --------------------------------------
+    def get_time_steps(self, skip_type, t_T, t_0, N) -> np.ndarray:
+        """`dpm_solver.py:461-488` — float64 numpy, shape [N+1]."""
+        if skip_type == "logSNR":
+            lambda_T = self.ns.marginal_lambda_np(t_T)
+            lambda_0 = self.ns.marginal_lambda_np(t_0)
+            return self.ns.inverse_lambda_np(
+                np.linspace(lambda_T, lambda_0, N + 1))
+        elif skip_type == "time_uniform":
+            return np.linspace(t_T, t_0, N + 1)
+        elif skip_type == "time_quadratic":
+            return np.linspace(t_T ** 0.5, t_0 ** 0.5, N + 1) ** 2
+        raise ValueError(f"Unsupported skip_type {skip_type}")
+
+    # ---- single first/second/third-order updates (traced) --------------
+    def _first_update(self, x, s, t, model_s=None):
+        ns = self.ns
+        h = ns.marginal_lambda_np(t) - ns.marginal_lambda_np(s)
+        if model_s is None:
+            model_s = self._model(x, s)
+        if self.algorithm_type == "dpmsolver++":
+            c_x = ns.marginal_std_np(t) / ns.marginal_std_np(s)
+            c_m = -ns.marginal_alpha_np(t) * np.expm1(-h)
+        else:
+            c_x = np.exp(ns.marginal_log_mean_coeff_np(t)
+                         - ns.marginal_log_mean_coeff_np(s))
+            c_m = -ns.marginal_std_np(t) * np.expm1(h)
+        return float(c_x) * x + float(c_m) * model_s, model_s
+
+    def _singlestep_second(self, x, s, t, r1=0.5, model_s=None,
+                           solver_type="dpmsolver", return_model_s1=False):
+        ns = self.ns
+        lam_s, lam_t = ns.marginal_lambda_np(s), ns.marginal_lambda_np(t)
+        h = lam_t - lam_s
+        r1 = 0.5 if r1 is None else r1
+        s1 = float(ns.inverse_lambda_np(lam_s + r1 * h))
+        if model_s is None:
+            model_s = self._model(x, s)
+        pp = self.algorithm_type == "dpmsolver++"
+        if pp:
+            phi_11, phi_1 = np.expm1(-r1 * h), np.expm1(-h)
+            a_s1 = ns.marginal_std_np(s1) / ns.marginal_std_np(s)
+            b_s1 = -ns.marginal_alpha_np(s1) * phi_11
+            x_s1 = float(a_s1) * x + float(b_s1) * model_s
+            model_s1 = self._model(x_s1, s1)
+            c_x = ns.marginal_std_np(t) / ns.marginal_std_np(s)
+            B = ns.marginal_alpha_np(t) * phi_1
+            if solver_type == "dpmsolver":
+                x_t = (float(c_x) * x - float(B) * model_s
+                       - float(0.5 / r1 * B) * (model_s1 - model_s))
+            else:
+                A = ns.marginal_alpha_np(t) * (phi_1 / h + 1.0)
+                x_t = (float(c_x) * x - float(B) * model_s
+                       + float(A / r1) * (model_s1 - model_s))
+        else:
+            phi_11, phi_1 = np.expm1(r1 * h), np.expm1(h)
+            la = ns.marginal_log_mean_coeff_np
+            x_s1 = (float(np.exp(la(s1) - la(s))) * x
+                    - float(ns.marginal_std_np(s1) * phi_11) * model_s)
+            model_s1 = self._model(x_s1, s1)
+            c_x = np.exp(la(t) - la(s))
+            B = ns.marginal_std_np(t) * phi_1
+            if solver_type == "dpmsolver":
+                x_t = (float(c_x) * x - float(B) * model_s
+                       - float(0.5 / r1 * B) * (model_s1 - model_s))
+            else:
+                A = ns.marginal_std_np(t) * (phi_1 / h - 1.0)
+                x_t = (float(c_x) * x - float(B) * model_s
+                       - float(A / r1) * (model_s1 - model_s))
+        if return_model_s1:
+            return x_t, model_s, model_s1
+        return x_t, model_s
+
+    def _singlestep_third(self, x, s, t, r1=1.0 / 3, r2=2.0 / 3,
+                          model_s=None, model_s1=None,
+                          solver_type="dpmsolver"):
+        ns = self.ns
+        r1 = 1.0 / 3 if r1 is None else r1
+        r2 = 2.0 / 3 if r2 is None else r2
+        lam_s, lam_t = ns.marginal_lambda_np(s), ns.marginal_lambda_np(t)
+        h = lam_t - lam_s
+        s1 = float(ns.inverse_lambda_np(lam_s + r1 * h))
+        s2 = float(ns.inverse_lambda_np(lam_s + r2 * h))
+        la = ns.marginal_log_mean_coeff_np
+        sd = ns.marginal_std_np
+        al = ns.marginal_alpha_np
+        pp = self.algorithm_type == "dpmsolver++"
+        if model_s is None:
+            model_s = self._model(x, s)
+        if pp:
+            phi_11, phi_12 = np.expm1(-r1 * h), np.expm1(-r2 * h)
+            phi_1 = np.expm1(-h)
+            phi_22 = np.expm1(-r2 * h) / (r2 * h) + 1.0
+            phi_2 = phi_1 / h + 1.0
+            phi_3 = phi_2 / h - 0.5
+            if model_s1 is None:
+                x_s1 = (float(sd(s1) / sd(s)) * x
+                        - float(al(s1) * phi_11) * model_s)
+                model_s1 = self._model(x_s1, s1)
+            x_s2 = (float(sd(s2) / sd(s)) * x
+                    - float(al(s2) * phi_12) * model_s
+                    + float(r2 / r1 * al(s2) * phi_22)
+                    * (model_s1 - model_s))
+            model_s2 = self._model(x_s2, s2)
+            if solver_type == "dpmsolver":
+                x_t = (float(sd(t) / sd(s)) * x
+                       - float(al(t) * phi_1) * model_s
+                       + float(1.0 / r2 * al(t) * phi_2)
+                       * (model_s2 - model_s))
+            else:
+                D1_0 = (model_s1 - model_s) / r1
+                D1_1 = (model_s2 - model_s) / r2
+                D1 = (r2 * D1_0 - r1 * D1_1) / (r2 - r1)
+                D2 = 2.0 * (D1_1 - D1_0) / (r2 - r1)
+                x_t = (float(sd(t) / sd(s)) * x
+                       - float(al(t) * phi_1) * model_s
+                       + float(al(t) * phi_2) * D1
+                       - float(al(t) * phi_3) * D2)
+        else:
+            phi_11, phi_12 = np.expm1(r1 * h), np.expm1(r2 * h)
+            phi_1 = np.expm1(h)
+            phi_22 = np.expm1(r2 * h) / (r2 * h) - 1.0
+            phi_2 = phi_1 / h - 1.0
+            phi_3 = phi_2 / h - 0.5
+            if model_s1 is None:
+                x_s1 = (float(np.exp(la(s1) - la(s))) * x
+                        - float(sd(s1) * phi_11) * model_s)
+                model_s1 = self._model(x_s1, s1)
+            x_s2 = (float(np.exp(la(s2) - la(s))) * x
+                    - float(sd(s2) * phi_12) * model_s
+                    - float(r2 / r1 * sd(s2) * phi_22)
+                    * (model_s1 - model_s))
+            model_s2 = self._model(x_s2, s2)
+            if solver_type == "dpmsolver":
+                x_t = (float(np.exp(la(t) - la(s))) * x
+                       - float(sd(t) * phi_1) * model_s
+                       - float(1.0 / r2 * sd(t) * phi_2)
+                       * (model_s2 - model_s))
+            else:
+                D1_0 = (model_s1 - model_s) / r1
+                D1_1 = (model_s2 - model_s) / r2
+                D1 = (r2 * D1_0 - r1 * D1_1) / (r2 - r1)
+                D2 = 2.0 * (D1_1 - D1_0) / (r2 - r1)
+                x_t = (float(np.exp(la(t) - la(s))) * x
+                       - float(sd(t) * phi_1) * model_s
+                       - float(sd(t) * phi_2) * D1
+                       - float(sd(t) * phi_3) * D2)
+        return x_t, model_s, model_s1, model_s2
+
+    # ---- multistep driver (scan) ---------------------------------------
+    def _sample_multistep(self, x, steps, t_T, t_0, order, skip_type,
+                          lower_order_final, solver_type):
+        """`dpm_solver.py:1180-1224` as warmup-unroll + one lax.scan."""
+        assert steps >= order
+        ts = [float(t) for t in
+              self.get_time_steps(skip_type, t_T, t_0, steps)]
+
+        def linear_combo(x, coeffs, m_list):
+            cx, c0, c1, c2 = coeffs
+            out = cx * x + c0 * m_list[-1]
+            if len(m_list) > 1 and c1 != 0.0:
+                out = out + c1 * m_list[-2]
+            if len(m_list) > 2 and c2 != 0.0:
+                out = out + c2 * m_list[-3]
+            return out
+
+        # warmup: first `order` model values by lower-order updates
+        # (`dpm_solver.py:1192-1201`); `order` model evals total.
+        m_list = [self._model(x, ts[0])]
+        window = [ts[0]]
+        for step in range(1, order):
+            coeffs = _expand_multistep_coeffs(
+                self.ns, window, ts[step], step, self.algorithm_type,
+                solver_type)
+            x = linear_combo(x, coeffs, m_list)
+            window.append(ts[step])
+            m_list.append(self._model(x, ts[step]))
+
+        def step_order_of(step):
+            if lower_order_final and steps < 10:
+                return min(order, steps + 1 - step)
+            return order
+
+        # host-precompute per-step coefficient rows for the scan body
+        rows = []
+        for step in range(order, steps + 1):
+            rows.append(_expand_multistep_coeffs(
+                self.ns, window, ts[step], step_order_of(step),
+                self.algorithm_type, solver_type))
+            window = (window + [ts[step]])[-order:]
+
+        zeros = jnp.zeros_like(x)
+        m0 = m_list[-1]
+        m1 = m_list[-2] if len(m_list) > 1 else zeros
+        m2 = m_list[-3] if len(m_list) > 2 else zeros
+
+        # scan over steps order..steps-1: update + model eval each
+        # (steps - order model evals); body traced ONCE.
+        n_scan = steps - order
+        if n_scan > 0:
+            coeff_arr = jnp.asarray(np.array(rows[:n_scan],
+                                             dtype=np.float32))
+            eval_t = jnp.asarray(np.array(ts[order:steps],
+                                          dtype=np.float32))
+
+            def body(carry, per_step):
+                x, m0, m1, m2 = carry
+                coeffs, t_next = per_step
+                x = (coeffs[0] * x + coeffs[1] * m0 + coeffs[2] * m1
+                     + coeffs[3] * m2)
+                m_new = self._model(x, t_next)
+                return (x, m_new, m0, m1), None
+
+            (x, m0, m1, m2), _ = jax.lax.scan(
+                body, (x, m0, m1, m2), (coeff_arr, eval_t))
+
+        # final update (step == steps): no model eval (`:1221-1223`)
+        x = linear_combo(x, rows[-1], [m2, m1, m0])
+        return x
+
+    # ---- singlestep drivers --------------------------------------------
+    def _orders_and_timesteps_singlestep(self, steps, order, skip_type,
+                                         t_T, t_0):
+        """`dpm_solver.py:494-553`."""
+        if order == 3:
+            K = steps // 3 + 1
+            if steps % 3 == 0:
+                orders = [3] * (K - 2) + [2, 1]
+            elif steps % 3 == 1:
+                orders = [3] * (K - 1) + [1]
+            else:
+                orders = [3] * (K - 1) + [2]
+        elif order == 2:
+            if steps % 2 == 0:
+                K = steps // 2
+                orders = [2] * K
+            else:
+                K = steps // 2 + 1
+                orders = [2] * (K - 1) + [1]
+        elif order == 1:
+            orders = [1] * steps
+        else:
+            raise ValueError("'order' must be '1' or '2' or '3'.")
+        if skip_type == "logSNR":
+            timesteps_outer = self.get_time_steps(skip_type, t_T, t_0,
+                                                  len(orders))
+        else:
+            full = self.get_time_steps(skip_type, t_T, t_0, steps)
+            idx = np.cumsum([0] + orders)
+            timesteps_outer = full[idx]
+        return timesteps_outer, orders
+
+    def _sample_singlestep(self, x, steps, t_T, t_0, order, skip_type,
+                           solver_type, fixed: bool):
+        if fixed:
+            K = steps // order
+            orders = [order] * K
+            timesteps_outer = self.get_time_steps(skip_type, t_T, t_0, K)
+        else:
+            timesteps_outer, orders = self._orders_and_timesteps_singlestep(
+                steps, order, skip_type, t_T, t_0)
+        for step, o in enumerate(orders):
+            s, t = float(timesteps_outer[step]), float(timesteps_outer[step + 1])
+            inner = self.get_time_steps(skip_type, s, t, o)
+            lam = self.ns.marginal_lambda_np(inner)
+            h = lam[-1] - lam[0]
+            r1 = None if o <= 1 else float((lam[1] - lam[0]) / h)
+            r2 = None if o <= 2 else float((lam[2] - lam[0]) / h)
+            if o == 1:
+                x, _ = self._first_update(x, s, t)
+            elif o == 2:
+                x, _ = self._singlestep_second(x, s, t, r1=r1,
+                                               solver_type=solver_type)
+            else:
+                x, _, _, _ = self._singlestep_third(x, s, t, r1=r1, r2=r2,
+                                                    solver_type=solver_type)
+        return x
+
+    # ---- adaptive driver (host loop; needs concrete values) ------------
+    def _sample_adaptive(self, x, order, t_T, t_0, h_init=0.05, atol=0.0078,
+                         rtol=0.05, theta=0.9, t_err=1e-5,
+                         solver_type="dpmsolver"):
+        """`dpm_solver.py:964-1018`. Host-driven while loop (step sizes are
+        data-dependent) — not jittable end-to-end by design."""
+        s = float(t_T)
+        lambda_0 = self.ns.marginal_lambda_np(t_0)
+        h = h_init
+        x_prev = x
+        nfe = 0
+        while abs(s - t_0) > t_err:
+            lam_s = self.ns.marginal_lambda_np(s)
+            t = float(self.ns.inverse_lambda_np(lam_s + h))
+            if order == 2:
+                x_lower, model_s = self._first_update(x, s, t)
+                x_higher, *_ = self._singlestep_second(
+                    x, s, t, r1=0.5, model_s=model_s,
+                    solver_type=solver_type)
+            elif order == 3:
+                x_lower, model_s, model_s1 = self._singlestep_second(
+                    x, s, t, r1=1.0 / 3, solver_type=solver_type,
+                    return_model_s1=True)
+                x_higher, *_ = self._singlestep_third(
+                    x, s, t, r1=1.0 / 3, r2=2.0 / 3, model_s=model_s,
+                    model_s1=model_s1, solver_type=solver_type)
+            else:
+                raise ValueError("adaptive solver order must be 2 or 3")
+            delta = jnp.maximum(
+                atol, rtol * jnp.maximum(jnp.abs(x_lower), jnp.abs(x_prev)))
+            E = float(jnp.max(jnp.sqrt(jnp.mean(
+                ((x_higher - x_lower) / delta) ** 2,
+                axis=tuple(range(1, x.ndim))))))
+            if E <= 1.0:
+                x = x_higher
+                s = t
+                x_prev = x_lower
+            h = min(theta * h * E ** (-1.0 / order),
+                    float(lambda_0 - self.ns.marginal_lambda_np(s)))
+            nfe += order
+        return x
+
+    # ---- public API -----------------------------------------------------
+    def add_noise(self, key, x, t, noise=None):
+        """xt = alpha_t x + sigma_t noise (`dpm_solver.py:1020-1038`)."""
+        t = jnp.atleast_1d(t)
+        alpha_t = self.ns.marginal_alpha(t)
+        sigma_t = self.ns.marginal_std(t)
+        if noise is None:
+            noise = jax.random.normal(key, (t.shape[0],) + x.shape, x.dtype)
+        x = x[None]
+        expand = (-1,) + (1,) * (x.ndim - 1)
+        xt = alpha_t.reshape(expand) * x + sigma_t.reshape(expand) * noise
+        return xt[0] if t.shape[0] == 1 else xt
+
+    def sample(self, x, steps: int = 20, t_start=None, t_end=None,
+               order: int = 2, skip_type: str = "time_uniform",
+               method: str = "multistep", lower_order_final: bool = True,
+               denoise_to_zero: bool = False,
+               solver_type: str = "dpmsolver",
+               atol: float = 0.0078, rtol: float = 0.05):
+        """`dpm_solver.py:1055-1253`. NFE == steps (+1 with
+        denoise_to_zero)."""
+        t_0 = 1.0 / self.ns.total_N if t_end is None else t_end
+        t_T = self.ns.T if t_start is None else t_start
+        assert t_0 > 0 and t_T > 0
+        if method == "multistep":
+            x = self._sample_multistep(x, steps, t_T, t_0, order, skip_type,
+                                       lower_order_final, solver_type)
+        elif method in ("singlestep", "singlestep_fixed"):
+            x = self._sample_singlestep(x, steps, t_T, t_0, order, skip_type,
+                                        solver_type,
+                                        fixed=(method == "singlestep_fixed"))
+        elif method == "adaptive":
+            x = self._sample_adaptive(x, order, t_T, t_0, atol=atol,
+                                      rtol=rtol, solver_type=solver_type)
+        else:
+            raise ValueError(f"Got wrong method {method}")
+        if denoise_to_zero:
+            # final first-order denoise to x0 (`:965,1246-1252`)
+            t = jnp.full((x.shape[0],), t_0, dtype=jnp.float32)
+            noise = self.model_fn_raw(x, t)
+            alpha_t = self.ns.marginal_alpha_np(t_0)
+            sigma_t = self.ns.marginal_std_np(t_0)
+            x0 = (x - float(sigma_t) * noise) / float(alpha_t)
+            if self.correcting_x0_fn is not None:
+                x0 = self.correcting_x0_fn(x0, t_0)
+            x = x0
+        return x
+
+    def inverse(self, x, steps=20, t_start=None, t_end=None, **kwargs):
+        """ODE inversion x0 -> xT (`dpm_solver.py:1040-1053`)."""
+        t_0 = 1.0 / self.ns.total_N if t_start is None else t_start
+        t_T = self.ns.T if t_end is None else t_end
+        return self.sample(x, steps=steps, t_start=t_0, t_end=t_T, **kwargs)

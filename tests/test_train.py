@@ -1,0 +1,145 @@
+"""End-to-end training tests on the 8-device CPU mesh: tiny model + synthetic
+data, full engine loop with validation + checkpointing, loss decreases."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difpan_tpu.data import PanDataset, make_synthetic_pan_h5
+from difpan_tpu.train import (TrainConfig, TrainState, create_train_state,
+                              ema_update, make_optimizer, train)
+from difpan_tpu.train.engine import build_diffusion, build_model, \
+    make_train_step, make_sample_fn
+from difpan_tpu.parallel import make_mesh, batch_sharding, replicated_sharding
+
+
+def _tiny_cfg(**kw):
+    base = dict(
+        dataset_name="qb", image_n_channel=4, pan_channel=1, image_size=32,
+        n_steps=50, batch_size=8, inner_channel=8, channel_mults=(1, 2),
+        attn_res=(16,), res_blocks=1, dropout=0.1, valid_every=10,
+        log_every=5, valid_batch_size=8, valid_section_counts="ddim10",
+        ema_start_iter=5, max_iterations=20)
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+class _NullLogger:
+    def print(self, *a):
+        pass
+
+    def log_scalar(self, *a):
+        pass
+
+    def log_scalars(self, *a):
+        pass
+
+
+def _dataset(n=16, size=32):
+    d = make_synthetic_pan_h5(n=n, channels=4, size=size, division=1023.0,
+                              seed=3)
+    return PanDataset(d, norm_range=False, division=1023.0, wavelets=True)
+
+
+def test_train_step_runs_and_loss_decreases():
+    cfg = _tiny_cfg()
+    ds = _dataset()
+    model = build_model(cfg)
+    dcfg, sched = build_diffusion(cfg)
+    tx = make_optimizer(1e-3, 1e-4, grad_clip_norm=1.0)
+    pan, lms, gt, wav = ds.batch(np.arange(8))
+    batch = tuple(jnp.asarray(a) for a in (pan, lms, gt, wav))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 32, 32, 4)), jnp.array([0]),
+        jnp.zeros((1, 32, 32, 12)), train=False)["params"]
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(cfg, model, dcfg, sched, tx),
+                   donate_argnums=(0,))
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(30):
+        key, k = jax.random.split(key)
+        state, loss = step(state, batch, k)
+        losses.append(float(loss))
+    assert int(state.step) == 30
+    assert np.isfinite(losses).all()
+    # trend check: mean of last 5 below mean of first 5
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_ema_semantics():
+    p = {"w": jnp.ones(3)}
+    e = {"w": jnp.zeros(3)}
+    # before start_iter: copy
+    out = ema_update(p, e, jnp.int32(3), decay=0.9, start_iter=5)
+    np.testing.assert_allclose(out["w"], 1.0)
+    # after: decay mix
+    out = ema_update(p, {"w": jnp.zeros(3)}, jnp.int32(6), decay=0.9,
+                     start_iter=5)
+    np.testing.assert_allclose(out["w"], 0.1, rtol=1e-6)
+
+
+def test_optimizer_lr_schedule_and_clip():
+    tx = make_optimizer(lr=1.0, weight_decay=0.0,
+                        milestones=(5, 10), gamma=0.1, grad_clip_norm=1e9)
+    params = {"w": jnp.zeros(1)}
+    st = tx.init(params)
+    g = {"w": jnp.ones(1)}
+    # AdamW normalizes by sqrt(v): after many identical grads step ~ lr
+    for i in range(20):
+        upd, st = tx.update(g, st, params)
+        if i == 3:
+            early = float(upd["w"][0])
+        if i == 12:
+            late = float(upd["w"][0])
+    # lr decayed by 0.1 twice between step 4 and 13
+    assert abs(late / early - 0.01) < 0.005
+
+
+def test_full_train_loop_with_validation_and_checkpoint(tmp_path):
+    cfg = _tiny_cfg(ckpt_dir=str(tmp_path / "ckpts"),
+                    run_dir=str(tmp_path / "runs"))
+    ds = _dataset()
+    mesh = make_mesh(8)
+    state = train(ds, ds, cfg, mesh=mesh, logger=_NullLogger(),
+                  max_iterations=20)
+    assert int(jax.device_get(state.step)) == 20
+    # two validations (at 10 and 20) -> checkpoints saved
+    from difpan_tpu.utils.checkpoints import latest_step, restore_checkpoint
+    assert latest_step(cfg.ckpt_dir) == 20
+    restored = restore_checkpoint(cfg.ckpt_dir, state)
+    np.testing.assert_array_equal(
+        jax.device_get(restored.step), jax.device_get(state.step))
+    l1 = jax.tree_util.tree_leaves(restored.params)
+    l2 = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_sample_fn_sharded():
+    """Batch-sharded DDIM sampling over the 8-device mesh."""
+    cfg = _tiny_cfg()
+    ds = _dataset()
+    model = build_model(cfg)
+    dcfg, sched = build_diffusion(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 32, 32, 4)), jnp.array([0]),
+        jnp.zeros((1, 32, 32, 12)), train=False)["params"]
+    mesh = make_mesh(8)
+    data_sh = batch_sharding(mesh)
+    repl_sh = replicated_sharding(mesh)
+    fn = jax.jit(make_sample_fn(cfg, model, dcfg, sched, "ddim10"),
+                 in_shardings=(repl_sh, repl_sh, data_sh, data_sh, data_sh),
+                 out_shardings=data_sh)
+    pan, lms, gt, wav = ds.batch(np.arange(8))
+    sr = fn(jax.device_put(params, repl_sh), jax.random.PRNGKey(0),
+            jax.device_put(jnp.asarray(pan), data_sh),
+            jax.device_put(jnp.asarray(lms), data_sh),
+            jax.device_put(jnp.asarray(wav), data_sh))
+    assert sr.shape == (8, 32, 32, 4)
+    assert float(jnp.min(sr)) >= 0.0 and float(jnp.max(sr)) <= 1.0
+    assert len(sr.sharding.device_set) == 8

@@ -1,0 +1,159 @@
+"""Command-line interface.
+
+The reference has no CLI — its entry point is literally executing
+`diffusion_engine.py` with hard-coded arguments (`diffusion_engine.py:
+508-533`, including "YOUR DATA PATH HERE" placeholders). This provides the
+same two operations as real commands:
+
+    python -m difpan_tpu train --train-data train_wv3.h5 --valid-data \
+        valid_wv3.h5 --dataset wv3 --n-steps 500 --batch-size 64
+    python -m difpan_tpu test --data test_gf2.h5 --dataset gf2 \
+        --weights ./weights --n-steps 25
+    python -m difpan_tpu bench            # headline throughput benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_train(sub):
+    p = sub.add_parser("train", help="train the diffusion model")
+    p.add_argument("--train-data", required=True)
+    p.add_argument("--valid-data", required=True)
+    p.add_argument("--dataset", default="wv3")
+    p.add_argument("--n-steps", type=int, default=3000,
+                   help="diffusion timesteps (cosine schedule)")
+    p.add_argument("--max-iterations", type=int, default=400_000)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt-dir", default="./weights")
+    p.add_argument("--run-dir", default="./runs")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from latest checkpoint in --ckpt-dir")
+    return p
+
+
+def _add_test(sub):
+    p = sub.add_parser("test", help="evaluate / export on a test set")
+    p.add_argument("--data", required=True)
+    p.add_argument("--dataset", default="gf2")
+    p.add_argument("--weights", required=True,
+                   help="orbax checkpoint dir (difpan) or .pth file "
+                        "(reference torch weights, auto-converted)")
+    p.add_argument("--n-steps", type=int, default=25,
+                   help="schedule length at eval (cosine)")
+    p.add_argument("--section-counts", default="ddim25")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--full-res", action="store_true")
+    p.add_argument("--save-mat", default=None)
+    p.add_argument("--save-png-dir", default=None)
+    p.add_argument("--use-ema", action="store_true", default=True)
+    return p
+
+
+def _add_bench(sub):
+    p = sub.add_parser("bench", help="throughput benchmark")
+    return p
+
+
+def cmd_train(args):
+    import h5py
+
+    from .data import get_dataset_spec
+    from .train import TrainConfig, train
+
+    spec = get_dataset_spec(args.dataset)
+    cfg = TrainConfig(
+        dataset_name=args.dataset, image_n_channel=spec.n_channels,
+        pan_channel=spec.pan_channels, n_steps=args.n_steps,
+        max_iterations=args.max_iterations, batch_size=args.batch_size,
+        lr_d=args.lr, seed=args.seed, ckpt_dir=args.ckpt_dir,
+        run_dir=args.run_dir)
+    restore_state = None
+    if args.resume:
+        from .train.engine import build_diffusion, build_model
+        from .train.state import create_train_state, make_optimizer
+        from .utils.checkpoints import restore_checkpoint
+        import jax
+        import jax.numpy as jnp
+        model = build_model(cfg)
+        tx = make_optimizer(cfg.lr_d, cfg.weight_decay,
+                            grad_clip_norm=cfg.grad_clip_norm)
+        params = model.init(
+            {"params": jax.random.PRNGKey(cfg.seed)},
+            jnp.zeros((1, cfg.image_size, cfg.image_size,
+                       cfg.image_n_channel)), jnp.array([0]),
+            jnp.zeros((1, cfg.image_size, cfg.image_size,
+                       2 * cfg.image_n_channel + 4 * cfg.pan_channel)),
+            train=False)["params"]
+        restore_state = restore_checkpoint(
+            args.ckpt_dir, create_train_state(params, tx))
+    with h5py.File(args.train_data, "r") as d_train, \
+            h5py.File(args.valid_data, "r") as d_valid:
+        train(d_train, d_valid, cfg, restore_state=restore_state)
+
+
+def cmd_test(args):
+    import h5py
+    import jax
+    import jax.numpy as jnp
+
+    from .train.eval import build_eval_model, evaluate
+
+    model = build_eval_model(args.dataset)
+    if args.weights.endswith((".pth", ".pt")):
+        from .utils.torch_convert import load_reference_checkpoint
+        params = jax.tree_util.tree_map(
+            jnp.asarray, load_reference_checkpoint(args.weights))
+    else:
+        from .train.engine import build_diffusion  # noqa: F401
+        from .train.state import create_train_state, make_optimizer
+        from .utils.checkpoints import restore_checkpoint
+        from .data import get_dataset_spec
+        spec = get_dataset_spec(args.dataset)
+        tx = make_optimizer()
+        p0 = model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, 64, 64, spec.n_channels)), jnp.array([0]),
+            jnp.zeros((1, 64, 64,
+                       2 * spec.n_channels + 4 * spec.pan_channels)),
+            train=False)["params"]
+        state = restore_checkpoint(args.weights, create_train_state(p0, tx))
+        params = state.ema_params if args.use_ema else state.params
+    with h5py.File(args.data, "r") as d:
+        raw = {k: d[k][:] for k in d.keys()}
+    metrics = evaluate(
+        raw, params, args.dataset, full_res=args.full_res,
+        n_steps=args.n_steps, section_counts=args.section_counts,
+        batch_size=args.batch_size, save_mat_path=args.save_mat,
+        save_png_dir=args.save_png_dir, model=model)
+    print(metrics)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="difpan_tpu",
+        description="TPU-native diffusion pansharpening framework")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    _add_train(sub)
+    _add_test(sub)
+    _add_bench(sub)
+    args = parser.parse_args(argv)
+    if args.cmd == "train":
+        cmd_train(args)
+    elif args.cmd == "test":
+        cmd_test(args)
+    elif args.cmd == "bench":
+        import runpy
+        import os
+        runpy.run_path(
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "bench.py"),
+            run_name="__main__")
+
+
+if __name__ == "__main__":
+    main()

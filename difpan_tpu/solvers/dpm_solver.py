@@ -301,9 +301,19 @@ class DPMSolver:
                  algorithm_type: str = "dpmsolver++",
                  correcting_x0_fn=None,
                  thresholding_max_val: float = 1.0,
-                 dynamic_thresholding_ratio: float = 0.995):
+                 dynamic_thresholding_ratio: float = 0.995,
+                 has_aux: bool = False):
+        """has_aux: model_fn returns (noise, aux_pytree); the multistep
+        sampler then accumulates (sums) aux across all model evaluations and
+        `sample` returns (x, aux_sum). This is the hook-free replacement for
+        the reference's feature-map forward hooks
+        (`utils/model_hook.py:10-24` + `models/pansharpen_model.py:121-124`):
+        a model that returns L2-normalized decoder feature maps as aux gets
+        exactly the `normalized_sum` over timesteps the MultiScaleModel
+        consumes (`pansharpen_model.py:92-97,202`)."""
         assert algorithm_type in ("dpmsolver", "dpmsolver++")
         self.model_fn_raw = model_fn
+        self.has_aux = has_aux
         self.ns = noise_schedule
         self.algorithm_type = algorithm_type
         if correcting_x0_fn == "dynamic_thresholding":
@@ -321,20 +331,24 @@ class DPMSolver:
         s = s.reshape((-1,) + (1,) * (x0.ndim - 1))
         return jnp.clip(x0, -s, s) / s
 
-    def _model(self, x, t_scalar):
+    def _model_full(self, x, t_scalar):
         """Data prediction (dpmsolver++) or noise prediction (dpmsolver),
         with x0 corrector (`dpm_solver.py:437-456`). t_scalar broadcasts to
-        the batch."""
+        the batch. Returns (pred, aux-or-None)."""
         t = jnp.full((x.shape[0],), t_scalar, dtype=jnp.float32)
-        noise = self.model_fn_raw(x, t)
+        out = self.model_fn_raw(x, t)
+        noise, aux = out if self.has_aux else (out, None)
         if self.algorithm_type == "dpmsolver++":
             alpha_t = self.ns.marginal_alpha(t_scalar)
             sigma_t = self.ns.marginal_std(t_scalar)
             x0 = (x - sigma_t * noise) / alpha_t
             if self.correcting_x0_fn is not None:
                 x0 = self.correcting_x0_fn(x0, t_scalar)
-            return x0
-        return noise
+            return x0, aux
+        return noise, aux
+
+    def _model(self, x, t_scalar):
+        return self._model_full(x, t_scalar)[0]
 
     # ---- timestep planning (host) --------------------------------------
     def get_time_steps(self, skip_type, t_T, t_0, N) -> np.ndarray:
@@ -502,9 +516,17 @@ class DPMSolver:
                 out = out + c2 * m_list[-3]
             return out
 
+        def acc_add(acc, aux):
+            if aux is None:
+                return acc
+            if acc is None:
+                return aux
+            return jax.tree_util.tree_map(jnp.add, acc, aux)
+
         # warmup: first `order` model values by lower-order updates
         # (`dpm_solver.py:1192-1201`); `order` model evals total.
-        m_list = [self._model(x, ts[0])]
+        m0_, aux_acc = self._model_full(x, ts[0])
+        m_list = [m0_]
         window = [ts[0]]
         for step in range(1, order):
             coeffs = _expand_multistep_coeffs(
@@ -512,7 +534,9 @@ class DPMSolver:
                 solver_type)
             x = linear_combo(x, coeffs, m_list)
             window.append(ts[step])
-            m_list.append(self._model(x, ts[step]))
+            m_new, aux = self._model_full(x, ts[step])
+            aux_acc = acc_add(aux_acc, aux)
+            m_list.append(m_new)
 
         def step_order_of(step):
             if lower_order_final and steps < 10:
@@ -542,18 +566,21 @@ class DPMSolver:
                                           dtype=np.float32))
 
             def body(carry, per_step):
-                x, m0, m1, m2 = carry
+                x, m0, m1, m2, aux_acc = carry
                 coeffs, t_next = per_step
                 x = (coeffs[0] * x + coeffs[1] * m0 + coeffs[2] * m1
                      + coeffs[3] * m2)
-                m_new = self._model(x, t_next)
-                return (x, m_new, m0, m1), None
+                m_new, aux = self._model_full(x, t_next)
+                aux_acc = acc_add(aux_acc, aux)
+                return (x, m_new, m0, m1, aux_acc), None
 
-            (x, m0, m1, m2), _ = jax.lax.scan(
-                body, (x, m0, m1, m2), (coeff_arr, eval_t))
+            (x, m0, m1, m2, aux_acc), _ = jax.lax.scan(
+                body, (x, m0, m1, m2, aux_acc), (coeff_arr, eval_t))
 
         # final update (step == steps): no model eval (`:1221-1223`)
         x = linear_combo(x, rows[-1], [m2, m1, m0])
+        if self.has_aux:
+            return x, aux_acc
         return x
 
     # ---- singlestep drivers --------------------------------------------
@@ -680,6 +707,9 @@ class DPMSolver:
         t_0 = 1.0 / self.ns.total_N if t_end is None else t_end
         t_T = self.ns.T if t_start is None else t_start
         assert t_0 > 0 and t_T > 0
+        if self.has_aux:
+            assert method == "multistep" and not denoise_to_zero, (
+                "aux capture is only supported for the multistep sampler")
         if method == "multistep":
             x = self._sample_multistep(x, steps, t_T, t_0, order, skip_type,
                                        lower_order_final, solver_type)

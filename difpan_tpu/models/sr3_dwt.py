@@ -177,6 +177,28 @@ class FreqCondInjection(nn.Module):
         return ffn + attn_out
 
 
+class WrappedCondInj(nn.Module):
+    """Parallel CSM + FWM injection fused by a 1x1 conv
+    (`models/sr3_dwt.py:580-611`) — present in the reference but unused by
+    the engine config; kept for capability parity."""
+    qkv_dim: int
+    dim_out: int
+    groups: int = 32
+    nheads: int = 8
+    ffn_drop_path: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, cond, *, train: bool = False):
+        rgb_out = CondInjection(hidden_dim=self.dim_out, groups=self.groups,
+                                name="rgb_cond_inj")(x, cond)
+        fft_out = FastAttnCondInjection(
+            qkv_dim=self.qkv_dim, dim_out=self.dim_out, groups=self.groups,
+            nheads=self.nheads, drop_path_prob=self.ffn_drop_path,
+            name="fft_cond_inj")(x, cond, train=train)
+        fuse = jnp.concatenate([rgb_out, fft_out], axis=-1)
+        return Conv(self.dim_out, 1, name="to_out")(fuse)
+
+
 class ResnetBlocWithAttn(nn.Module):
     """Cond injection (CSM encoder / FWM decoder) + ResnetBlock + optional
     self-attention (`models/sr3_dwt.py:614-673`)."""
@@ -190,7 +212,13 @@ class ResnetBlocWithAttn(nn.Module):
     @nn.compact
     def __call__(self, x, time_emb, cond=None, *, train: bool = False):
         if self.cond_dim is not None:
-            c = resize_bilinear(cond, x.shape[1], x.shape[2])
+            # resize only if the caller didn't pre-resize (the UNet hoists
+            # one resize per resolution out of the 52 per-block resizes the
+            # reference does — identical math, resize is deterministic)
+            if cond.shape[1:3] != x.shape[1:3]:
+                c = resize_bilinear(cond, x.shape[1], x.shape[2])
+            else:
+                c = cond
             if self.encoder:
                 x = CondInjection(hidden_dim=self.dim_out,
                                   groups=self.norm_groups, name="cond_inj")(
@@ -261,6 +289,20 @@ class UNetSR3DWT(nn.Module):
         num_mults = len(self.channel_mults)
         now_res = self.image_size
 
+        # hoisted cond pyramid: one bilinear resize per UNet resolution
+        # instead of one per block (reference: `models/sr3_dwt.py:661-663`)
+        cond_pyr = {}
+        if cond is not None:
+            h0, w0 = x.shape[1], x.shape[2]
+            for lvl in range(num_mults):
+                hl, wl = h0 // (2 ** lvl), w0 // (2 ** lvl)
+                cond_pyr[hl] = (
+                    cond_enc if hl == cond_enc.shape[1]
+                    else resize_bilinear(cond_enc, hl, wl),
+                    cond_dec if hl == cond_dec.shape[1]
+                    else resize_bilinear(cond_dec, hl, wl),
+                )
+
         # --- encoder ---------------------------------------------------
         x = Conv(self.inner_channel, 3, name="head_conv")(x)
         feats = [x]
@@ -275,7 +317,9 @@ class UNetSR3DWT(nn.Module):
                     dim_out=channel_mult, cond_dim=enc_cond_dim,
                     norm_groups=self.norm_groups, dropout=self.dropout,
                     with_attn=use_attn, encoder=True,
-                    name=f"down_{ind}_{blk}")(x, t, cond_enc, train=train)
+                    name=f"down_{ind}_{blk}")(
+                    x, t, cond_pyr[x.shape[1]][0] if cond is not None
+                    else None, train=train)
                 feats.append(x)
                 feat_channels.append(channel_mult)
                 pre_channel = channel_mult
@@ -307,7 +351,8 @@ class UNetSR3DWT(nn.Module):
                     norm_groups=self.norm_groups, dropout=self.dropout,
                     with_attn=use_attn, encoder=False,
                     name=f"up_{ind}_{blk}")(
-                    jnp.concatenate([x, skip], axis=-1), t, cond_dec,
+                    jnp.concatenate([x, skip], axis=-1), t,
+                    cond_pyr[x.shape[1]][1] if cond is not None else None,
                     train=train)
             if not is_last:
                 x = Upsample(channel_mult, name=f"upsample_{ind}")(x)

@@ -22,6 +22,19 @@ def _nchw_to_nhwc(x: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(x, (0, 2, 3, 1)))
 
 
+def random_erase_channel(x: np.ndarray, n_channel: int,
+                         rng: np.random.Generator) -> np.ndarray:
+    """Zero a random subset of channels (p=0.5 each) — capability parity
+    with `pan_dataset.py:18-27` (the reference defines this aug but ships it
+    disabled, `:199-202`). x is (H, W, C) NHWC."""
+    if x.shape[-1] != n_channel:
+        return x
+    mask = rng.random(n_channel) < 0.5
+    x = x.copy()
+    x[..., mask] = 0.0
+    return x
+
+
 class PanDataset:
     def __init__(
         self,

@@ -16,5 +16,8 @@ from .gaussian import (
     q_posterior,
     p_losses,
     p_sample_loop,
+    p_sample_loop_trajectory,
+    interpolate,
     ddim_sample_loop,
 )
+from .facade import GaussianDiffusion

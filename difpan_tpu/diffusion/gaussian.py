@@ -247,6 +247,82 @@ def p_sample_loop(
     return img
 
 
+def p_sample_loop_trajectory(
+    cfg: DiffusionConfig,
+    sched: Schedule,
+    model_fn: ModelFn,
+    key: jax.Array,
+    cond: jnp.ndarray,
+    *,
+    clip_denoised: Optional[bool] = None,
+) -> jnp.ndarray:
+    """DDPM sampling returning every intermediate sample, stacked on a new
+    leading axis [T, B, H, W, C] — the jit-friendly equivalent of the
+    reference's `continous=True` concat (`diffusion_ddpm_pan.py:472-505`,
+    which keeps every `num_timesteps // 10`-th frame; slice the result for
+    that)."""
+    if clip_denoised is None:
+        clip_denoised = cfg.clamp_range is not None
+    b, h, w, _ = cond.shape
+    key, init_key = jax.random.split(key)
+    img = jax.random.normal(init_key, (b, h, w, cfg.channels))
+    ts = jnp.arange(sched.num_timesteps - 1, -1, -1)
+
+    def step(carry, t_scalar):
+        img, key = carry
+        key, nkey = jax.random.split(key)
+        t = jnp.full((b,), t_scalar, dtype=jnp.int32)
+        mean, _, log_var, _ = p_mean_variance(
+            cfg, sched, model_fn, img, t, cond, img, clip_denoised)
+        noise = jax.random.normal(nkey, img.shape, img.dtype)
+        nonzero = (t_scalar != 0).astype(img.dtype)
+        img = mean + nonzero * jnp.exp(0.5 * log_var) * noise
+        return (img, key), img
+
+    (_, _), traj = jax.lax.scan(step, (img, key), ts)
+    return traj
+
+
+def interpolate(
+    cfg: DiffusionConfig,
+    sched: Schedule,
+    model_fn: ModelFn,
+    key: jax.Array,
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    cond: jnp.ndarray,
+    *,
+    t: Optional[int] = None,
+    lam: float = 0.5,
+) -> jnp.ndarray:
+    """Diffuse two images to time t, mix, and denoise back
+    (`diffusion_ddpm_pan.py:509-527`)."""
+    assert x1.shape == x2.shape
+    t = sched.num_timesteps - 1 if t is None else t
+    b = x1.shape[0]
+    key, k1, k2 = jax.random.split(key, 3)
+    tb = jnp.full((b,), t, dtype=jnp.int32)
+    xt1 = q_sample(sched, x1, tb, jax.random.normal(k1, x1.shape, x1.dtype))
+    xt2 = q_sample(sched, x2, tb, jax.random.normal(k2, x2.shape, x2.dtype))
+    img = (1 - lam) * xt1 + lam * xt2
+    ts = jnp.arange(t - 1, -1, -1)
+    clip_denoised = cfg.clamp_range is not None
+
+    def step(carry, t_scalar):
+        img, key = carry
+        key, nkey = jax.random.split(key)
+        tt = jnp.full((b,), t_scalar, dtype=jnp.int32)
+        mean, _, log_var, _ = p_mean_variance(
+            cfg, sched, model_fn, img, tt, cond, img, clip_denoised)
+        noise = jax.random.normal(nkey, img.shape, img.dtype)
+        nonzero = (t_scalar != 0).astype(img.dtype)
+        img = mean + nonzero * jnp.exp(0.5 * log_var) * noise
+        return (img, key), None
+
+    (img, _), _ = jax.lax.scan(step, (img, key), ts)
+    return img
+
+
 def ddim_step(cfg, sched, model_fn, x, t, cond, key, *, eta: float = 0.0,
               clip_denoised: bool = False):
     """One DDIM update (`diffusion_ddpm_pan.py:594-621`)."""

@@ -61,6 +61,8 @@ def evaluate(
     save_png_dir: Optional[str] = None,
     model: Optional[UNetSR3DWT] = None,
     logger=None,
+    tile: Optional[int] = None,
+    tile_overlap: int = 32,
 ) -> Dict[str, float]:
     """Run the full eval protocol; returns the averaged metric dict
     (empty for full-res). `test_data` is an h5-like dict or a dataset."""
@@ -112,11 +114,20 @@ def evaluate(
             pan, lms, gt, wavelets = batch
         _print(f"sampling [{bi + 1}/{n_batches}]")
         n_real = pan.shape[0]
-        pan_p, lms_p, wav_p = (jnp.asarray(_pad_to(a, batch_size))
-                               for a in (pan, lms, wavelets))
         key, k = jax.random.split(key)
-        sr = np.asarray(jax.device_get(sample(params, k, pan_p, lms_p,
-                                              wav_p)))[:n_real]
+        if tile is not None and lms.shape[1] > tile:
+            # overlap-tile path for images exceeding one compiled shape /
+            # HBM budget (e.g. 1000x1000 Harvard full-res)
+            from ..parallel.spatial import tiled_sample
+            sr = tiled_sample(
+                lambda kk, p_, l_, w_: sample(params, kk, p_, l_, w_),
+                k, np.asarray(pan), np.asarray(lms), np.asarray(wavelets),
+                tile=tile, overlap=tile_overlap, tile_batch=batch_size)
+        else:
+            pan_p, lms_p, wav_p = (jnp.asarray(_pad_to(a, batch_size))
+                                   for a in (pan, lms, wavelets))
+            sr = np.asarray(jax.device_get(sample(params, k, pan_p, lms_p,
+                                                  wav_p)))[:n_real]
         analysis(gt, sr) if gt is not None else analysis(None, None)
         if gt is not None:
             _print(analysis.print_str(analysis.last_acc))

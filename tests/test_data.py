@@ -97,3 +97,28 @@ def test_device_prefetch_and_pack_cond():
     assert cond.shape == (2, 32, 32, 4 + 1 + 7)
     # first channels are lms verbatim
     np.testing.assert_allclose(np.asarray(cond[..., :4]), np.asarray(lms))
+
+
+def test_hisr_erase_affine_aug():
+    d = make_synthetic_hisr_h5(n=4, bands=31, size=32)
+    ds = HISRDataSets(d, wavelets=True, aug_prob=1.0)
+    rng = np.random.default_rng(0)
+    rgb, hsi, gt, wav = ds.batch(np.arange(4), rng)
+    # every sample transformed; shapes preserved; same warp applied to
+    # paired tensors (rotated zero-corners line up between rgb and gt)
+    assert rgb.shape == (4, 32, 32, 3) and gt.shape == (4, 32, 32, 31)
+    assert not np.allclose(gt, ds.gt[:4])
+    corner_rgb = rgb[:, 0, 0, :].sum(-1) == 0
+    corner_gt = gt[:, 0, 0, :].sum(-1) == 0
+    np.testing.assert_array_equal(corner_rgb, corner_gt)
+
+
+def test_random_erase_channel():
+    from difpan_tpu.data.pan_dataset import random_erase_channel
+    rng = np.random.default_rng(3)
+    x = np.ones((8, 8, 4), np.float32)
+    out = random_erase_channel(x, 4, rng)
+    zeroed = (out.sum(axis=(0, 1)) == 0)
+    assert 0 < zeroed.sum() <= 4
+    # wrong channel count -> unchanged (reference behavior)
+    np.testing.assert_array_equal(random_erase_channel(x, 8, rng), x)

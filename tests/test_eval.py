@@ -59,3 +59,15 @@ def test_evaluate_full_res(tmp_path):
     m = loadmat(mat)
     assert "gt" not in m
     assert m["sr"].shape == (3, 4, 32, 32)
+
+
+def test_evaluate_full_res_tiled(tmp_path):
+    """Overlap-tile path: full-res image larger than the tile size."""
+    d = make_synthetic_pan_h5(n=2, channels=4, size=64, full_res=True)
+    model = _tiny_model()
+    params = _params(model)
+    metrics = evaluate(
+        d, params, "gf2", full_res=True, n_steps=10, section_counts="ddim5",
+        batch_size=4, model=model, tile=32, tile_overlap=16,
+        logger=type("L", (), {"print": staticmethod(lambda *a: None)})())
+    assert metrics == {}

@@ -152,3 +152,37 @@ def test_p_losses_pred_modes():
             jnp.ones((2, 4, 4, 2)) * 0.1, jnp.ones((2, 4, 4, 5)))
         assert np.isfinite(float(loss))
         assert recon.shape == (2, 4, 4, 2)
+
+
+def test_trajectory_and_interpolate():
+    s = cosine_schedule(10)
+    cfg = DiffusionConfig(channels=2, self_condition=False)
+    cond = jnp.full((1, 4, 4, 5), 0.5)
+    from difpan_tpu.diffusion import p_sample_loop_trajectory, interpolate
+    traj = p_sample_loop_trajectory(cfg, s, _fixed_model,
+                                    jax.random.PRNGKey(0), cond)
+    assert traj.shape == (10, 1, 4, 4, 2)
+    x1 = jnp.zeros((1, 4, 4, 2))
+    x2 = jnp.ones((1, 4, 4, 2))
+    out = interpolate(cfg, s, _fixed_model, jax.random.PRNGKey(1), x1, x2,
+                      cond, t=5)
+    assert out.shape == (1, 4, 4, 2)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_facade_dispatch():
+    from difpan_tpu.diffusion import GaussianDiffusion, cosine_schedule
+    g = GaussianDiffusion(_fixed_model, cosine_schedule(100), channels=3,
+                          self_condition=False)
+    cond = jnp.full((1, 8, 8, 7), 0.3)
+    loss, recon = g(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                    mode="train", cond=cond)
+    assert np.isfinite(float(loss))
+    sr = g(jax.random.PRNGKey(1), cond, mode="ddim_sample",
+           section_counts="ddim10")
+    assert sr.shape == (1, 8, 8, 3)
+    # functional respacing left the base schedule at T=100
+    assert g.num_timesteps == 100
+    import pytest
+    with pytest.raises(NotImplementedError):
+        g(jax.random.PRNGKey(2), cond, mode="nope")

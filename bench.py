@@ -24,13 +24,15 @@ TARGET_MULTIPLier = 10.0
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--batch", type=int, default=16)  # best of {4,16,32} sweep
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--channels", type=int, default=8)
     p.add_argument("--dtype", type=str, default="bf16",
                    choices=["f32", "bf16"])
+    p.add_argument("--pallas", action="store_true",
+                   help="use the fused Pallas GN+Swish / FWM kernels")
     args = p.parse_args()
 
     import jax
@@ -46,7 +48,7 @@ def main():
         in_channel=c, out_channel=c, lms_channel=c, pan_channel=pc,
         inner_channel=32, norm_groups=1, channel_mults=(1, 2, 2, 4),
         attn_res=(8,), res_blocks=3, dropout=0.2, image_size=64,
-        self_condition=True)
+        self_condition=True, use_pallas=args.pallas)
 
     rng = jax.random.PRNGKey(0)
     b, s = args.batch, args.size

@@ -143,16 +143,39 @@ class FeatureWiseAffine(nn.Module):
         return x + h
 
 
+class _GNParams(nn.Module):
+    """Creates GroupNorm-compatible scale/bias params (same tree layout as
+    nn.GroupNorm) for use with the fused Pallas kernel."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return s, b
+
+
 class Block(nn.Module):
-    """GroupNorm -> Swish -> (Dropout) -> Conv3x3 (`models/sr3_dwt.py:288-300`)."""
+    """GroupNorm -> Swish -> (Dropout) -> Conv3x3 (`models/sr3_dwt.py:288-300`).
+
+    use_pallas=True (valid only with groups=1) fuses GN+Swish into one
+    VMEM-resident Pallas pass; param layout is unchanged.
+    """
     dim_out: int
     groups: int = 32
     dropout: float = 0.0
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(x)
-        h = swish(h)
+        if self.use_pallas and self.groups == 1:
+            from ..ops.pallas import fused_groupnorm_swish
+            scale, bias = _GNParams(x.shape[-1], name="norm")()
+            h = fused_groupnorm_swish(x, scale, bias)
+        else:
+            h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                             name="norm")(x)
+            h = swish(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not train,
                            name="drop")(h)
@@ -166,15 +189,17 @@ class ResnetBlock(nn.Module):
     dropout: float = 0.0
     use_affine_level: bool = False
     norm_groups: int = 32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, time_emb, *, train: bool = False):
-        h = Block(self.dim_out, groups=self.norm_groups, name="block1")(
-            x, train=train)
+        h = Block(self.dim_out, groups=self.norm_groups,
+                  use_pallas=self.use_pallas, name="block1")(x, train=train)
         h = FeatureWiseAffine(self.dim_out, self.use_affine_level,
                               name="noise_func")(h, time_emb)
         h = Block(self.dim_out, groups=self.norm_groups,
-                  dropout=self.dropout, name="block2")(h, train=train)
+                  dropout=self.dropout, use_pallas=self.use_pallas,
+                  name="block2")(h, train=train)
         if x.shape[-1] != self.dim_out:
             x = Conv(self.dim_out, 1, name="res_conv")(x)
         return h + x

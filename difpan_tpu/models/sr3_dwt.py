@@ -68,6 +68,7 @@ class FastAttnCondInjection(nn.Module):
     groups: int = 32
     nheads: int = 8
     drop_path_prob: float = 0.2
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, cond, *, train: bool = False):
@@ -89,13 +90,17 @@ class FastAttnCondInjection(nn.Module):
         k = jax.nn.softmax(k, axis=2)
 
         scale = 1.0 / math.sqrt(self.qkv_dim // self.nheads)
-        q = rearrange(q, "b H W (h d) -> b h d (H W)", h=self.nheads) * scale
-        k = rearrange(k, "b H W (h d) -> b h d (H W)", h=self.nheads)
-        v = rearrange(v, "b H W (h d) -> b h d (H W)", h=self.nheads)
-
-        context = jnp.einsum("bhdn,bhen->bhde", k, v)
-        out = jnp.einsum("bhde,bhdn->bhen", context, q)
-        out = rearrange(out, "b h d (H W) -> b H W (h d)", H=x.shape[1])
+        if self.use_pallas:
+            from ..ops.pallas import fwm_linear_attention
+            out = fwm_linear_attention(q * scale, k, v, self.nheads)
+        else:
+            q = rearrange(q, "b H W (h d) -> b h d (H W)",
+                          h=self.nheads) * scale
+            k = rearrange(k, "b H W (h d) -> b h d (H W)", h=self.nheads)
+            v = rearrange(v, "b H W (h d) -> b h d (H W)", h=self.nheads)
+            context = jnp.einsum("bhdn,bhen->bhde", k, v)
+            out = jnp.einsum("bhde,bhdn->bhen", context, q)
+            out = rearrange(out, "b h d (H W) -> b H W (h d)", H=x.shape[1])
 
         attn_out = Conv(self.dim_out, 1, name="attn_out")(out)
         if fea_dim != self.dim_out:
@@ -208,6 +213,7 @@ class ResnetBlocWithAttn(nn.Module):
     dropout: float = 0.0
     with_attn: bool = False
     encoder: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, time_emb, cond=None, *, train: bool = False):
@@ -227,9 +233,11 @@ class ResnetBlocWithAttn(nn.Module):
                 x = FastAttnCondInjection(
                     qkv_dim=x.shape[-1], dim_out=self.dim_out,
                     groups=self.norm_groups, nheads=8, drop_path_prob=0.2,
+                    use_pallas=self.use_pallas,
                     name="cond_inj")(x, c, train=train)
         x = ResnetBlock(self.dim_out, dropout=self.dropout,
-                        norm_groups=self.norm_groups, name="res_block")(
+                        norm_groups=self.norm_groups,
+                        use_pallas=self.use_pallas, name="res_block")(
             x, time_emb, train=train)
         if self.with_attn:
             x = SelfAttention(n_head=8, norm_groups=self.norm_groups,
@@ -264,6 +272,7 @@ class UNetSR3DWT(nn.Module):
     fourier_max: int = 8
     fourier_step: int = 1
     pred_var: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, time, cond=None, self_cond=None, *,
@@ -317,6 +326,7 @@ class UNetSR3DWT(nn.Module):
                     dim_out=channel_mult, cond_dim=enc_cond_dim,
                     norm_groups=self.norm_groups, dropout=self.dropout,
                     with_attn=use_attn, encoder=True,
+                    use_pallas=self.use_pallas,
                     name=f"down_{ind}_{blk}")(
                     x, t, cond_pyr[x.shape[1]][0] if cond is not None
                     else None, train=train)
@@ -332,11 +342,13 @@ class UNetSR3DWT(nn.Module):
         # --- middle -----------------------------------------------------
         x = ResnetBlocWithAttn(
             dim_out=pre_channel, norm_groups=self.norm_groups,
-            dropout=self.dropout, with_attn=True, name="mid_0")(
+            dropout=self.dropout, with_attn=True,
+            use_pallas=self.use_pallas, name="mid_0")(
             x, t, train=train)
         x = ResnetBlocWithAttn(
             dim_out=pre_channel, norm_groups=self.norm_groups,
-            dropout=self.dropout, with_attn=False, name="mid_1")(
+            dropout=self.dropout, with_attn=False,
+            use_pallas=self.use_pallas, name="mid_1")(
             x, t, train=train)
 
         # --- decoder ----------------------------------------------------
@@ -350,6 +362,7 @@ class UNetSR3DWT(nn.Module):
                     dim_out=channel_mult, cond_dim=dec_cond_dim,
                     norm_groups=self.norm_groups, dropout=self.dropout,
                     with_attn=use_attn, encoder=False,
+                    use_pallas=self.use_pallas,
                     name=f"up_{ind}_{blk}")(
                     jnp.concatenate([x, skip], axis=-1), t,
                     cond_pyr[x.shape[1]][1] if cond is not None else None,
@@ -359,4 +372,5 @@ class UNetSR3DWT(nn.Module):
                 now_res *= 2
 
         return Block(self.out_channel, groups=self.norm_groups,
+                     use_pallas=self.use_pallas,
                      name="final_conv")(x, train=train)

@@ -1,0 +1,2 @@
+from .fused_norm import fused_groupnorm_swish
+from .linear_attention import fwm_linear_attention

@@ -62,6 +62,9 @@ class TrainConfig:
     valid_batch_size: int = 16
     valid_section_counts: str = "ddim25"
     seed: int = 0
+    compute_dtype: str = "float32"   # 'bfloat16' runs the UNet on the MXU
+                                     # in bf16 with f32 master params; the
+                                     # diffusion math and loss stay f32
     inner_channel: int = 32
     norm_groups: int = 1
     channel_mults: Tuple[int, ...] = (1, 2, 2, 4)
@@ -93,11 +96,22 @@ def build_diffusion(cfg: TrainConfig):
     return dcfg, sched
 
 
+def _dtype_casts(cfg: TrainConfig):
+    if cfg.compute_dtype == "bfloat16":
+        def cast_in(t):
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, t)
+        return cast_in, lambda a: a.astype(jnp.float32)
+    return (lambda t: t), (lambda a: a)
+
+
 def make_train_step(cfg: TrainConfig, model, dcfg, sched, tx):
     """Returns the pure train step (state, batch, key) -> (state, loss).
 
     batch = (pan, lms, gt, wavelets), NHWC, sharded on the batch axis.
     """
+    cast_in, cast_out = _dtype_casts(cfg)
 
     def train_step(state: TrainState, batch, key):
         pan, lms, gt, wavelets = batch
@@ -105,9 +119,13 @@ def make_train_step(cfg: TrainConfig, model, dcfg, sched, tx):
         res = gt - lms  # residual diffusion target (`diffusion_engine.py:231`)
 
         def loss_fn(params):
+            lp = cast_in(params)
+
             def model_fn(x, t, c, sc, k):
-                return model.apply({"params": params}, x, t, c, sc,
-                                   train=True, rngs={"dropout": k})
+                out = model.apply({"params": lp}, cast_in(x), t, cast_in(c),
+                                  cast_in(sc), train=True,
+                                  rngs={"dropout": k})
+                return cast_out(out)
             loss, recon = p_losses(dcfg, sched, model_fn, key, res, cond)
             return loss, recon
 
@@ -131,12 +149,16 @@ def make_sample_fn(cfg: TrainConfig, model, dcfg, sched,
     (`diffusion_engine.py:296-298`)."""
     sc = section_counts or cfg.valid_section_counts
     sched_re, _ = respace(sched, sc)
+    cast_in, cast_out = _dtype_casts(cfg)
 
     def sample_fn(params, key, pan, lms, wavelets):
         cond = pack_cond(lms, pan, wavelets)
+        lp = cast_in(params)
 
         def model_fn(x, t, c, s_c, k):
-            return model.apply({"params": params}, x, t, c, s_c, train=False)
+            out = model.apply({"params": lp}, cast_in(x), t, cast_in(c),
+                              cast_in(s_c), train=False)
+            return cast_out(out)
 
         sample = ddim_sample_loop(dcfg, sched_re, model_fn, key, cond)
         return jnp.clip(sample + lms, 0.0, 1.0)

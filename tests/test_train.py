@@ -143,3 +143,30 @@ def test_sample_fn_sharded():
     assert sr.shape == (8, 32, 32, 4)
     assert float(jnp.min(sr)) >= 0.0 and float(jnp.max(sr)) <= 1.0
     assert len(sr.sharding.device_set) == 8
+
+
+def test_train_step_bf16_compute():
+    cfg = _tiny_cfg(compute_dtype="bfloat16")
+    ds = _dataset()
+    model = build_model(cfg)
+    dcfg, sched = build_diffusion(cfg)
+    tx = make_optimizer(1e-3, 1e-4, grad_clip_norm=1.0)
+    pan, lms, gt, wav = ds.batch(np.arange(8))
+    batch = tuple(jnp.asarray(a) for a in (pan, lms, gt, wav))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 32, 32, 4)), jnp.array([0]),
+        jnp.zeros((1, 32, 32, 12)), train=False)["params"]
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(cfg, model, dcfg, sched, tx),
+                   donate_argnums=(0,))
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(10):
+        key, k = jax.random.split(key)
+        state, loss = step(state, batch, k)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    # master params stay f32
+    assert all(v.dtype == jnp.float32
+               for v in jax.tree_util.tree_leaves(state.params))

@@ -33,6 +33,15 @@ def _add_train(sub):
     p.add_argument("--run-dir", default="./runs")
     p.add_argument("--resume", action="store_true",
                    help="resume from latest checkpoint in --ckpt-dir")
+    # model/engine knobs (engine defaults if omitted)
+    p.add_argument("--image-size", type=int, default=64)
+    p.add_argument("--inner-channel", type=int, default=32)
+    p.add_argument("--res-blocks", type=int, default=3)
+    p.add_argument("--channel-mults", default="1,2,2,4")
+    p.add_argument("--valid-every", type=int, default=5000)
+    p.add_argument("--valid-batch-size", type=int, default=16)
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     return p
 
 
@@ -71,7 +80,12 @@ def cmd_train(args):
         pan_channel=spec.pan_channels, n_steps=args.n_steps,
         max_iterations=args.max_iterations, batch_size=args.batch_size,
         lr_d=args.lr, seed=args.seed, ckpt_dir=args.ckpt_dir,
-        run_dir=args.run_dir)
+        run_dir=args.run_dir, image_size=args.image_size,
+        inner_channel=args.inner_channel, res_blocks=args.res_blocks,
+        channel_mults=tuple(int(m) for m in args.channel_mults.split(",")),
+        valid_every=args.valid_every,
+        valid_batch_size=args.valid_batch_size,
+        compute_dtype=args.compute_dtype)
     restore_state = None
     if args.resume:
         from .train.engine import build_diffusion, build_model

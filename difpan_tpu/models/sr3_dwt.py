@@ -182,6 +182,64 @@ class FreqCondInjection(nn.Module):
         return ffn + attn_out
 
 
+class FastFreqCondInjection(nn.Module):
+    """Linear attention computed in rFFT space
+    (`/root/reference/models/sr3.py:483-567`) — unused by the engine config;
+    kept for capability parity. q/k softmax over spatial axes, rfft2, c x c
+    complex context, irfft2 back."""
+    qkv_dim: int
+    dim_out: int
+    groups: int = 32
+    nheads: int = 8
+    drop_path_prob: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, cond, *, train: bool = False):
+        fea_dim = x.shape[-1]
+        assert fea_dim % self.nheads == 0
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         name="prenorm_x")(x)
+        q = Conv(fea_dim, 3, use_bias=False, feature_group_count=fea_dim,
+                 name="q_dw")(x)
+        q = Conv(self.qkv_dim, 1, name="q_pw")(q)
+        kv = Conv(cond.shape[-1], 3, use_bias=False,
+                  feature_group_count=cond.shape[-1], name="kv_dw")(cond)
+        kv = Conv(self.qkv_dim * 2, 1, name="kv_pw")(kv)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        q = jax.nn.softmax(q, axis=1)
+        k = jax.nn.softmax(k, axis=2)
+
+        qf = jnp.fft.rfft2(q, axes=(1, 2), norm="ortho")
+        kf = jnp.fft.rfft2(k, axes=(1, 2), norm="ortho")
+        vf = jnp.fft.rfft2(v, axes=(1, 2), norm="ortho")
+
+        scale = 1.0 / math.sqrt(self.qkv_dim // self.nheads)
+        xf, yf = qf.shape[1], qf.shape[2]
+        qf, kf, vf = (rearrange(t, "b X Y (h d) -> b h d (X Y)",
+                                h=self.nheads) for t in (qf, kf, vf))
+        qf = qf * scale
+        context = jnp.einsum("bhdn,bhen->bhde", kf, vf)
+        outf = jnp.einsum("bhde,bhdn->bhen", context, qf)
+        outf = rearrange(outf, "b h d (X Y) -> b X Y (h d)", X=xf, Y=yf)
+        out = jnp.fft.irfft2(outf, s=(x.shape[1], x.shape[2]), axes=(1, 2),
+                             norm="ortho")
+
+        attn_out = Conv(self.dim_out, 1, name="attn_out")(out)
+        if fea_dim != self.dim_out:
+            attn_out = attn_out + Conv(self.dim_out, 1, name="attn_res")(x)
+        else:
+            attn_out = attn_out + x
+        ffn = Conv(self.dim_out * 2, 3, use_bias=False, name="ffn_conv1")(
+            attn_out)
+        ffn = nn.silu(ffn)
+        ffn = Conv(self.dim_out, 3, use_bias=False, name="ffn_conv2")(ffn)
+        ffn = Conv(self.dim_out, 1, name="ffn_conv3")(ffn)
+        ffn = DropPath(self.drop_path_prob, name="ffn_drop_path")(
+            ffn, train=train)
+        return ffn + attn_out
+
+
 class WrappedCondInj(nn.Module):
     """Parallel CSM + FWM injection fused by a 1x1 conv
     (`models/sr3_dwt.py:580-611`) — present in the reference but unused by

@@ -125,3 +125,24 @@ def test_self_cond_none_equals_x():
     y_none = net.apply({"params": params}, x, t, cond, None, train=False)
     y_x = net.apply({"params": params}, x, t, cond, x, train=False)
     np.testing.assert_array_equal(np.asarray(y_none), np.asarray(y_x))
+
+
+def test_cond_injection_variants():
+    """FreqCondInjection / FastFreqCondInjection / WrappedCondInj (present in
+    the reference but unused by the engine) run and keep shapes."""
+    from difpan_tpu.models.sr3_dwt import (FastFreqCondInjection,
+                                           FreqCondInjection, WrappedCondInj)
+    x = jnp.linspace(-1, 1, 2 * 16 * 16 * 16).reshape(2, 16, 16, 16)
+    cond = jnp.linspace(0, 1, 2 * 16 * 16 * 5).reshape(2, 16, 16, 5)
+    for cls in (FreqCondInjection, FastFreqCondInjection):
+        mod = cls(qkv_dim=16, dim_out=8, groups=1, nheads=4)
+        params = mod.init({"params": jax.random.PRNGKey(0)}, x, cond,
+                          train=False)
+        y = mod.apply(params, x, cond, train=False)
+        assert y.shape == (2, 16, 16, 8)
+        assert np.all(np.isfinite(np.asarray(y)))
+    mod = WrappedCondInj(qkv_dim=16, dim_out=8, groups=1, nheads=4)
+    params = mod.init({"params": jax.random.PRNGKey(0)}, x, cond,
+                      train=False)
+    y = mod.apply(params, x, cond, train=False)
+    assert y.shape == (2, 16, 16, 8)

@@ -49,6 +49,15 @@ def fused_groupnorm_swish(x: jnp.ndarray, scale: jnp.ndarray,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, h, w, c = x.shape
+    # per-sample map must fit VMEM (with in+out double buffering);
+    # larger maps fall back to the XLA path (same numerics)
+    if h * w * c * x.dtype.itemsize > 3 * 1024 * 1024 and not interpret:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
+        var = jnp.mean((xf - mean) ** 2, axis=(1, 2, 3), keepdims=True)
+        hn = (xf - mean) * jax.lax.rsqrt(var + eps)
+        hn = hn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return (hn * jax.nn.sigmoid(hn)).astype(x.dtype)
     kernel = functools.partial(_gn_swish_kernel, eps=eps)
     mem = pltpu.VMEM if (_HAS_PLTPU and not interpret) else None
 

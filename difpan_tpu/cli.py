@@ -15,7 +15,6 @@ same two operations as real commands:
 from __future__ import annotations
 
 import argparse
-import sys
 
 
 def _add_train(sub):

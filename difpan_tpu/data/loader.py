@@ -15,7 +15,7 @@ with a TPU-friendly pipeline:
 from __future__ import annotations
 
 import collections
-from typing import Iterable, Iterator, Optional, Sequence, Tuple
+from typing import Iterable, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,9 +10,7 @@ reference's string dispatch (`:768-778`).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
-
-import jax
+from typing import Callable
 
 from . import gaussian
 from .schedules import Schedule, respace

@@ -9,7 +9,6 @@ defaults (kaiming-uniform, a=sqrt(5)) so training dynamics are comparable.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

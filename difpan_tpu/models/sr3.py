@@ -7,7 +7,7 @@ blocks with the DWT variant (`.sr3_dwt` / `.common`).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -20,7 +20,7 @@ bilinear (align_corners=False) resize of cond to each stage.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,7 @@ from flax import linen as nn
 
 from .common import (
     Block, Conv, Downsample, DropPath, NoiseLevelMLP, ResnetBlock,
-    SelfAttention, Upsample, base2fourier_features, resize_bilinear, swish,
+    SelfAttention, Upsample, base2fourier_features, resize_bilinear,
 )
 
 

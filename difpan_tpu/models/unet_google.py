@@ -16,7 +16,7 @@ TPU-native re-design of `/root/reference/models/unet_model_google.py:211-433`:
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ numerically matching the jnp einsum pair to float tolerance (see tests;
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from einops import rearrange

@@ -18,8 +18,7 @@ UNet at that size on one GPU. On TPU two complementary mechanisms:
 
 from __future__ import annotations
 
-import math
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

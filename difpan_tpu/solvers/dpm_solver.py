@@ -20,7 +20,7 @@ discrete-time input convention t_input = (t - 1/N)*1000 (`:285-291`).
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -17,8 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from functools import partial
-from typing import Any, Callable, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +26,7 @@ import optax
 
 from ..data import (PanDataset, HISRDataSets, batch_iterator, device_prefetch,
                     get_dataset_spec, pack_cond)
-from ..diffusion import (DiffusionConfig, cosine_schedule, ddim_sample_loop,
+from ..diffusion import (DiffusionConfig, ddim_sample_loop,
                          make_beta_schedule, p_losses, respace,
                          schedule_from_betas)
 from ..models import UNetSR3DWT

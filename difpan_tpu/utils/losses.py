@@ -7,7 +7,6 @@ Charbonnier are provided for capability parity (`loss_utils.py:73-95,181-205`).
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -64,6 +64,10 @@ class TrainConfig:
     compute_dtype: str = "float32"   # 'bfloat16' runs the UNet on the MXU
                                      # in bf16 with f32 master params; the
                                      # diffusion math and loss stay f32
+    remat: bool = False              # jax.checkpoint the UNet forward:
+                                     # recompute activations in backward,
+                                     # trading ~1/3 more FLOPs for O(depth)
+                                     # less HBM -> bigger batches per chip
     inner_channel: int = 32
     norm_groups: int = 1
     channel_mults: Tuple[int, ...] = (1, 2, 2, 4)
@@ -120,10 +124,16 @@ def make_train_step(cfg: TrainConfig, model, dcfg, sched, tx):
         def loss_fn(params):
             lp = cast_in(params)
 
+            def apply_fn(p, x, t, c, sc, k):
+                return model.apply({"params": p}, x, t, c, sc, train=True,
+                                   rngs={"dropout": k})
+
+            if cfg.remat:
+                apply_fn = jax.checkpoint(apply_fn,
+                                          static_argnums=())  # full remat
+
             def model_fn(x, t, c, sc, k):
-                out = model.apply({"params": lp}, cast_in(x), t, cast_in(c),
-                                  cast_in(sc), train=True,
-                                  rngs={"dropout": k})
+                out = apply_fn(lp, cast_in(x), t, cast_in(c), cast_in(sc), k)
                 return cast_out(out)
             loss, recon = p_losses(dcfg, sched, model_fn, key, res, cond)
             return loss, recon

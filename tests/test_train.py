@@ -170,3 +170,28 @@ def test_train_step_bf16_compute():
     # master params stay f32
     assert all(v.dtype == jnp.float32
                for v in jax.tree_util.tree_leaves(state.params))
+
+
+def test_train_step_remat_matches_no_remat():
+    """jax.checkpoint remat must not change the computed loss/params."""
+    ds = _dataset()
+    pan, lms, gt, wav = ds.batch(np.arange(8))
+    batch = tuple(jnp.asarray(a) for a in (pan, lms, gt, wav))
+    results = []
+    for remat in (False, True):
+        cfg = _tiny_cfg(remat=remat, dropout=0.0)
+        model = build_model(cfg)
+        dcfg, sched = build_diffusion(cfg)
+        tx = make_optimizer(1e-3, 1e-4, grad_clip_norm=1.0)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, 32, 32, 4)), jnp.array([0]),
+            jnp.zeros((1, 32, 32, 12)), train=False)["params"]
+        state = create_train_state(params, tx)
+        step = jax.jit(make_train_step(cfg, model, dcfg, sched, tx))
+        state, loss = step(state, batch, jax.random.PRNGKey(7))
+        results.append((float(loss),
+                        jax.tree_util.tree_leaves(state.params)[0]))
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(results[0][1]),
+                               np.asarray(results[1][1]), atol=1e-6)

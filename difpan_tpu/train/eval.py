@@ -82,7 +82,11 @@ def evaluate(
         raw = None
 
     model = model or build_eval_model(dataset_name)
-    dcfg = DiffusionConfig(channels=spec.n_channels, pred_mode="x_start",
+    # derive band count from the data itself (the registry spec may describe
+    # the full dataset while fixtures/subsets carry fewer bands)
+    n_ch = (ds.lms.shape[-1] if hasattr(ds, "lms")
+            else ds.hsi_up.shape[-1])
+    dcfg = DiffusionConfig(channels=n_ch, pred_mode="x_start",
                            loss_type="l1", clamp_range=(0.0, 1.0),
                            self_condition=True)
     sched = schedule_from_betas(

@@ -154,18 +154,26 @@ def main(argv=None):
     _add_train(sub)
     _add_test(sub)
     _add_bench(sub)
-    args = parser.parse_args(argv)
+    if argv is None:
+        import sys as _sys
+        argv = _sys.argv[1:]
+    if argv and argv[0] == "bench":
+        # forward everything after `bench` to bench.py's own parser
+        args = argparse.Namespace(cmd="bench", bench_args=argv[1:])
+    else:
+        args = parser.parse_args(argv)
     if args.cmd == "train":
         cmd_train(args)
     elif args.cmd == "test":
         cmd_test(args)
     elif args.cmd == "bench":
-        import runpy
         import os
-        runpy.run_path(
-            os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), "bench.py"),
-            run_name="__main__")
+        import runpy
+        import sys
+        bench_path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py")
+        sys.argv = [bench_path] + list(args.bench_args)
+        runpy.run_path(bench_path, run_name="__main__")
 
 
 if __name__ == "__main__":

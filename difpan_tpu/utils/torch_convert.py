@@ -152,6 +152,73 @@ def convert_sr3_dwt_state_dict(
     return _unflatten(flat)
 
 
+def _flatten(tree: Mapping[str, Any], prefix: Tuple[str, ...] = ()
+             ) -> Dict[Tuple[str, ...], np.ndarray]:
+    flat: Dict[Tuple[str, ...], np.ndarray] = {}
+    for k, v in tree.items():
+        if isinstance(v, Mapping):
+            flat.update(_flatten(v, prefix + (k,)))
+        else:
+            flat[prefix + (k,)] = np.asarray(v)
+    return flat
+
+
+def convert_to_reference_state_dict(
+    params: Mapping[str, Any],
+    channel_mults: Sequence[int] = (1, 2, 2, 4),
+    res_blocks: int = 3,
+) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_sr3_dwt_state_dict`: difpan_tpu UNetSR3DWT params
+    -> reference-layout torch state_dict (numpy values; wrap with
+    torch.tensor for torch.save). Lets TPU-trained weights flow back into
+    the reference ecosystem."""
+    downs_map, ups_map = _sr3_dwt_index_maps(channel_mults, res_blocks)
+    # invert prefix maps: flax first-component -> (torch seq prefix, rest)
+    prefix_inv: Dict[Tuple[str, ...], str] = {}
+    for idx, path in downs_map.items():
+        prefix_inv[path] = f"downs.{idx}"
+    for idx, path in ups_map.items():
+        prefix_inv[path] = f"ups.{idx}"
+    suffix_inv = {path: pat.strip("^$").replace("\\", "")
+                  for pat, path in _BLOCK_RULES}
+
+    out: Dict[str, np.ndarray] = {}
+    for path, v in _flatten(params).items():
+        mod_path, leaf = path[:-1], path[-1]
+        if leaf == "kernel":
+            if v.ndim == 4:
+                tv, pname = np.transpose(v, (3, 2, 0, 1)), "weight"
+            else:
+                tv, pname = np.transpose(v, (1, 0)), "weight"
+        elif leaf == "scale":
+            tv, pname = v, "weight"
+        else:
+            tv, pname = v, "bias"
+
+        head = mod_path[0]
+        if head == "noise_level_mlp":
+            idx = {"lin1": 1, "lin2": 3}[mod_path[1]]
+            key = f"noise_level_mlp.{idx}.{pname}"
+        elif head == "final_conv":
+            key = ("final_conv.block.0" if mod_path[1] == "norm"
+                   else "final_conv.block.3") + f".{pname}"
+        elif head == "head_conv":
+            key = f"downs.0.{pname}"
+        elif head.startswith("mid_"):
+            seq = f"mid.{head.split('_')[1]}"
+            key = f"{seq}.{suffix_inv[mod_path[1:]]}.{pname}"
+        elif head.startswith(("downsample_", "upsample_")):
+            seq = prefix_inv[(head, "conv", "conv")]
+            key = f"{seq}.conv.{pname}"
+        elif head.startswith(("down_", "up_")):
+            seq = prefix_inv[(head,)]
+            key = f"{seq}.{suffix_inv[mod_path[1:]]}.{pname}"
+        else:
+            raise KeyError(f"unmapped flax module: {'/'.join(path)}")
+        out[key] = tv
+    return out
+
+
 def load_reference_checkpoint(path: str, **kwargs) -> Dict[str, Any]:
     """torch.load + convert in one call (strips DataParallel prefixes like
     the reference's `model_load`, `utils/misc.py:89-133`)."""

@@ -96,3 +96,34 @@ def test_logging(tmp_path):
     lg.close()
     import os
     assert any("log.txt" in fs for _, _, f in os.walk(tmp_path) for fs in f)
+
+
+def test_torch_convert_roundtrip():
+    """flax -> torch-layout -> flax must be an exact identity (hermetic:
+    no torch or reference needed)."""
+    import jax.numpy as jnp
+    from difpan_tpu.models import UNetSR3DWT
+    from difpan_tpu.utils.torch_convert import (
+        convert_sr3_dwt_state_dict, convert_to_reference_state_dict)
+
+    net = UNetSR3DWT(
+        in_channel=4, out_channel=4, lms_channel=4, pan_channel=1,
+        inner_channel=8, norm_groups=1, channel_mults=(1, 2),
+        attn_res=(8,), res_blocks=1, dropout=0.2, image_size=16,
+        self_condition=True)
+    params = net.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 16, 16, 4)),
+        jnp.array([0]), jnp.zeros((1, 16, 16, 12)), train=False)["params"]
+    sd = convert_to_reference_state_dict(params, channel_mults=(1, 2),
+                                         res_blocks=1)
+    back = convert_sr3_dwt_state_dict(sd, channel_mults=(1, 2), res_blocks=1)
+    flat_a = {jax.tree_util.keystr(p): np.asarray(v) for p, v
+              in jax.tree_util.tree_leaves_with_path(params)}
+    flat_b = {jax.tree_util.keystr(p): np.asarray(v) for p, v
+              in jax.tree_util.tree_leaves_with_path(back)}
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(flat_a[k], flat_b[k])
+    # torch-side naming sanity
+    assert "downs.0.weight" in sd and "final_conv.block.3.bias" in sd
+    assert any(k.startswith("ups.") and "cond_inj.q.0" in k for k in sd)

@@ -195,3 +195,34 @@ def test_train_step_remat_matches_no_remat():
     np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-6)
     np.testing.assert_allclose(np.asarray(results[0][1]),
                                np.asarray(results[1][1]), atol=1e-6)
+
+
+def test_train_loop_hisr_family(tmp_path):
+    """Engine end-to-end on the MHIF family (rgb=pan role, 3 channels)."""
+    from difpan_tpu.data import HISRDataSets, make_synthetic_hisr_h5
+    d = make_synthetic_hisr_h5(n=8, bands=8, size=32)
+    ds = HISRDataSets(d, wavelets=True)
+    cfg = TrainConfig(
+        dataset_name="cave", image_n_channel=8, pan_channel=3,
+        image_size=32, n_steps=20, batch_size=4, inner_channel=8,
+        channel_mults=(1, 2), attn_res=(16,), res_blocks=1, dropout=0.0,
+        valid_every=6, log_every=3, valid_batch_size=4,
+        valid_section_counts="ddim5", ema_start_iter=2,
+        ckpt_dir=str(tmp_path / "ck"), run_dir=str(tmp_path / "runs"))
+    mesh = make_mesh(4)
+    state = train(ds, ds, cfg, mesh=mesh, logger=_NullLogger(),
+                  max_iterations=6)
+    assert int(jax.device_get(state.step)) == 6
+
+
+def test_device_prefetch_with_sharding():
+    from difpan_tpu.data import batch_iterator, device_prefetch
+    from difpan_tpu.parallel import batch_sharding
+    ds = _dataset(n=16)
+    mesh = make_mesh(8)
+    sh = batch_sharding(mesh)
+    it = device_prefetch(
+        batch_iterator(ds, 8, epochs=1, drop_remainder=True), sharding=sh)
+    batches = list(it)
+    assert len(batches) == 2
+    assert len(batches[0][0].sharding.device_set) == 8

@@ -13,13 +13,16 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
+from typing import TYPE_CHECKING
+
 import jax
 import orbax.checkpoint as ocp
 
-from ..train.state import TrainState
+if TYPE_CHECKING:  # type-only; avoids a circular import with train.engine
+    from ..train.state import TrainState
 
 
-def save_checkpoint(ckpt_dir: str, state: TrainState) -> str:
+def save_checkpoint(ckpt_dir: str, state: "TrainState") -> str:
     ckpt_dir = os.path.abspath(ckpt_dir)
     step = int(jax.device_get(state.step))
     path = os.path.join(ckpt_dir, str(step))
@@ -35,8 +38,8 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
-def restore_checkpoint(ckpt_dir: str, target: TrainState,
-                       step: Optional[int] = None) -> TrainState:
+def restore_checkpoint(ckpt_dir: str, target: "TrainState",
+                       step: Optional[int] = None) -> "TrainState":
     ckpt_dir = os.path.abspath(ckpt_dir)
     if step is None:
         step = latest_step(ckpt_dir)
@@ -48,6 +51,31 @@ def restore_checkpoint(ckpt_dir: str, target: TrainState,
             ocp.utils.to_shape_dtype_struct, jax.device_get(target))
         restored = ckptr.restore(path, abstract)
     return restored
+
+
+def merge_params_by_shape(target: Any, source: Any, verbose: bool = False
+                          ) -> Any:
+    """Partial/fuzzy weight loading: copy every source leaf whose path AND
+    shape match the target; keep the target leaf otherwise. The functional
+    analog of the reference `model_load`'s shape-match fallback
+    (`utils/misc.py:89-133`), for warm-starting models whose heads/widths
+    changed."""
+    import jax.tree_util as jtu
+
+    src_flat = {jtu.keystr(p): v
+                for p, v in jtu.tree_leaves_with_path(source)}
+
+    def merge(path, tgt_leaf):
+        key = jtu.keystr(path)
+        src = src_flat.get(key)
+        if src is not None and getattr(src, "shape", None) == tgt_leaf.shape:
+            return src
+        if verbose and src is not None:
+            print(f"shape mismatch, keeping target: {key} "
+                  f"{getattr(src, 'shape', None)} vs {tgt_leaf.shape}")
+        return tgt_leaf
+
+    return jtu.tree_map_with_path(merge, target)
 
 
 def save_params(path: str, params: Any) -> str:

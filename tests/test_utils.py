@@ -127,3 +127,16 @@ def test_torch_convert_roundtrip():
     # torch-side naming sanity
     assert "downs.0.weight" in sd and "final_conv.block.3.bias" in sd
     assert any(k.startswith("ups.") and "cond_inj.q.0" in k for k in sd)
+
+
+def test_merge_params_by_shape():
+    import jax.numpy as jnp
+    from difpan_tpu.utils.checkpoints import merge_params_by_shape
+    target = {"a": {"w": jnp.zeros((3, 3)), "b": jnp.zeros(3)},
+              "head": {"w": jnp.zeros((3, 5))}}
+    source = {"a": {"w": jnp.ones((3, 3)), "b": jnp.ones(4)},   # b mismatched
+              "head": {"w": jnp.ones((3, 7))}}                   # mismatched
+    merged = merge_params_by_shape(target, source)
+    np.testing.assert_allclose(np.asarray(merged["a"]["w"]), 1.0)
+    np.testing.assert_allclose(np.asarray(merged["a"]["b"]), 0.0)
+    np.testing.assert_allclose(np.asarray(merged["head"]["w"]), 0.0)

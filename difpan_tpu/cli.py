@@ -59,6 +59,12 @@ def _add_test(sub):
     p.add_argument("--save-mat", default=None)
     p.add_argument("--save-png-dir", default=None)
     p.add_argument("--use-ema", action="store_true", default=True)
+    p.add_argument("--tile", type=int, default=None,
+                   help="overlap-tile size for huge full-res images")
+    # model knobs must match the trained checkpoint
+    p.add_argument("--inner-channel", type=int, default=32)
+    p.add_argument("--res-blocks", type=int, default=3)
+    p.add_argument("--channel-mults", default="1,2,2,4")
     return p
 
 
@@ -114,19 +120,27 @@ def cmd_test(args):
     import jax
     import jax.numpy as jnp
 
-    from .train.eval import build_eval_model, evaluate
+    from .data import get_dataset_spec
+    from .models import UNetSR3DWT
+    from .train.eval import evaluate
 
-    model = build_eval_model(args.dataset)
+    spec = get_dataset_spec(args.dataset)
+    mults = tuple(int(m) for m in args.channel_mults.split(","))
+    model = UNetSR3DWT(
+        in_channel=spec.n_channels, out_channel=spec.n_channels,
+        lms_channel=spec.n_channels, pan_channel=spec.pan_channels,
+        inner_channel=args.inner_channel, norm_groups=1,
+        channel_mults=mults, attn_res=(8,), res_blocks=args.res_blocks,
+        dropout=0.2, image_size=64, self_condition=True)
     if args.weights.endswith((".pth", ".pt")):
         from .utils.torch_convert import load_reference_checkpoint
         params = jax.tree_util.tree_map(
-            jnp.asarray, load_reference_checkpoint(args.weights))
+            jnp.asarray, load_reference_checkpoint(
+                args.weights, channel_mults=mults,
+                res_blocks=args.res_blocks))
     else:
-        from .train.engine import build_diffusion  # noqa: F401
         from .train.state import create_train_state, make_optimizer
         from .utils.checkpoints import restore_checkpoint
-        from .data import get_dataset_spec
-        spec = get_dataset_spec(args.dataset)
         tx = make_optimizer()
         p0 = model.init(
             {"params": jax.random.PRNGKey(0)},
@@ -142,7 +156,7 @@ def cmd_test(args):
         raw, params, args.dataset, full_res=args.full_res,
         n_steps=args.n_steps, section_counts=args.section_counts,
         batch_size=args.batch_size, save_mat_path=args.save_mat,
-        save_png_dir=args.save_png_dir, model=model)
+        save_png_dir=args.save_png_dir, model=model, tile=args.tile)
     print(metrics)
 
 

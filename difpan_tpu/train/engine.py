@@ -270,13 +270,21 @@ def train(
         if step % cfg.valid_every == 0:
             analysis = AnalysisPanAcc(ergas_ratio=spec.ergas_ratio)
             for vbatch in batch_iterator(valid_data, cfg.valid_batch_size,
-                                         epochs=1, shuffle=False,
-                                         drop_remainder=True):
+                                         epochs=1, shuffle=False):
                 pan, lms, gt, wavelets = vbatch
+                n_real = pan.shape[0]
+                if n_real < cfg.valid_batch_size:
+                    # pad the remainder batch to the compiled shape
+                    # (the reference validates every sample, drop_last=False)
+                    def _pad(a):
+                        reps = cfg.valid_batch_size - n_real
+                        return np.concatenate(
+                            [a, np.repeat(a[-1:], reps, axis=0)], axis=0)
+                    pan, lms, wavelets = map(_pad, (pan, lms, wavelets))
                 key, vkey = jax.random.split(key)
                 sr = sample_fn(state.ema_params, vkey, jnp.asarray(pan),
                                jnp.asarray(lms), jnp.asarray(wavelets))
-                analysis(gt, jax.device_get(sr))
+                analysis(gt, jax.device_get(sr)[:n_real])
             logger.print("---diffusion result---")
             logger.print(analysis.print_str())
             logger.log_scalars("diffusion_perf", analysis.acc_ave, step)

@@ -226,3 +226,21 @@ def test_device_prefetch_with_sharding():
     batches = list(it)
     assert len(batches) == 2
     assert len(batches[0][0].sharding.device_set) == 8
+
+
+def test_train_validation_covers_remainder(tmp_path):
+    """Validation must score ALL samples (reference drop_last=False),
+    padding the remainder batch to the compiled shape."""
+    cfg = _tiny_cfg(valid_batch_size=6, valid_every=5, max_iterations=5,
+                    ckpt_dir=str(tmp_path / "ck"),
+                    run_dir=str(tmp_path / "runs"))
+    ds = _dataset(n=10)  # 10 = 6 + remainder 4
+    mesh = make_mesh(2)
+    seen = {}
+
+    def on_valid(step, state, acc):
+        seen[step] = acc
+
+    state = train(ds, ds, cfg, mesh=mesh, logger=_NullLogger(),
+                  max_iterations=5, on_valid=on_valid)
+    assert 5 in seen and np.isfinite(list(seen[5].values())).all()

@@ -30,13 +30,14 @@ class GaussianDiffusion:
         self_condition: bool = True,
         p2_loss_weight_gamma: float = 0.0,
         p2_loss_weight_k: float = 1.0,
+        pred_var: bool = False,
     ):
         self.cfg = gaussian.DiffusionConfig(
             channels=channels, pred_mode=pred_mode, loss_type=loss_type,
             clamp_range=tuple(clamp_range) if clamp_range else None,
             clamp_type=clamp_type, self_condition=self_condition,
             p2_loss_weight_gamma=p2_loss_weight_gamma,
-            p2_loss_weight_k=p2_loss_weight_k)
+            p2_loss_weight_k=p2_loss_weight_k, pred_var=pred_var)
         self.schedule = schedule
         self.model_fn = model_fn
 

@@ -28,12 +28,15 @@ Reference quirks reproduced intentionally (documented for parity):
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple
+import math
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from .schedules import Schedule
+
+NAT = 1.0 / math.log(2)  # nats->bits factor (`diffusion_ddpm_pan.py:141`)
 
 # Model protocol: closed over params. key may be None in eval.
 #   model_fn(x, t, cond, self_cond, key) -> prediction   (all NHWC)
@@ -55,6 +58,13 @@ class DiffusionConfig:
     p2_loss_weight_k: float = 1.0
     dynamic_thresholding_ratio: float = 0.8
     thresholding_max_val: float = 1.0
+    # Learned-variance (improved-DDPM) head: the model outputs 2*channels,
+    # [prediction, raw_var_frac] on the channel axis. The reference carries
+    # this flag (`models/sr3_dwt.py:50`, chunking at
+    # `diffusion_ddpm_pan.py:366-367,405-414,739-757`) but asserts it off
+    # (`:184`) and never registers `posterior_log_variance_max`; here the
+    # path works (see Schedule.posterior_log_variance_max).
+    pred_var: bool = False
 
     def __post_init__(self):
         assert self.pred_mode in ("noise", "x_start", "pred_v")
@@ -65,6 +75,57 @@ class DiffusionConfig:
 def _extract(table: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """Gather per-sample coefficients and broadcast over H, W, C (NHWC)."""
     return table[t][:, None, None, None]
+
+
+def noise_like(key: jax.Array, shape, dtype=jnp.float32,
+               repeat: bool = False) -> jnp.ndarray:
+    """Gaussian noise; `repeat=True` draws ONE sample's noise and broadcasts
+    it across the batch (`diffusion_ddpm_pan.py:79-88`)."""
+    if repeat:
+        n = jax.random.normal(key, (1,) + tuple(shape[1:]), dtype)
+        return jnp.broadcast_to(n, shape)
+    return jax.random.normal(key, shape, dtype)
+
+
+def _meanflat(x: jnp.ndarray) -> jnp.ndarray:
+    """Mean over all non-batch axes (`diffusion_ddpm_pan.py:104-105`)."""
+    return jnp.mean(x, axis=tuple(range(1, x.ndim)))
+
+
+def normal_kl(mean1, logvar1, mean2, logvar2):
+    """KL between two diagonal Gaussians (`diffusion_ddpm_pan.py:91-101`)."""
+    return 0.5 * (
+        -1.0 + logvar2 - logvar1 + jnp.exp(logvar1 - logvar2)
+        + ((mean1 - mean2) ** 2) * jnp.exp(-logvar2))
+
+
+def approx_standard_normal_cdf(x):
+    """Tanh-based CDF approximation (`diffusion_ddpm_pan.py:108-111`)."""
+    return 0.5 * (
+        1.0 + jnp.tanh(math.sqrt(2.0 / math.pi) * (x + 0.044715 * x ** 3)))
+
+
+def _safe_log(x, eps=1e-15):
+    return jnp.log(jnp.maximum(x, eps))
+
+
+def discretized_gaussian_log_likelihood(x, *, means, log_scales,
+                                        thres: float = 0.999):
+    """Log-likelihood of `x` under a Gaussian discretized to 1/255 bins
+    (`diffusion_ddpm_pan.py:118-140`)."""
+    assert x.shape == means.shape == log_scales.shape
+    centered_x = x - means
+    inv_stdv = jnp.exp(-log_scales)
+    plus_in = inv_stdv * (centered_x + 1.0 / 255.0)
+    cdf_plus = approx_standard_normal_cdf(plus_in)
+    min_in = inv_stdv * (centered_x - 1.0 / 255.0)
+    cdf_min = approx_standard_normal_cdf(min_in)
+    log_cdf_plus = _safe_log(cdf_plus)
+    log_one_minus_cdf_min = _safe_log(1.0 - cdf_min)
+    cdf_delta = cdf_plus - cdf_min
+    return jnp.where(
+        x < -thres, log_cdf_plus,
+        jnp.where(x > thres, log_one_minus_cdf_min, _safe_log(cdf_delta)))
 
 
 def q_sample(sched: Schedule, x_start: jnp.ndarray, t: jnp.ndarray,
@@ -169,12 +230,15 @@ def p_losses(
         noise = jax.random.normal(key_noise, x_start.shape, x_start.dtype)
     x_noisy = q_sample(sched, x_start, t, noise)
 
+    def _mean_part(out):
+        return jnp.split(out, 2, axis=-1)[0] if cfg.pred_var else out
+
     if cfg.self_condition:
         coin = jax.random.bernoulli(key_coin)
 
         def with_self_cond(_):
             # no-grad estimate of x0 with self_cond defaulting to x_noisy
-            out = model_fn(x_noisy, t, cond, x_noisy, key_m1)
+            out = _mean_part(model_fn(x_noisy, t, cond, x_noisy, key_m1))
             return jax.lax.stop_gradient(
                 _prediction_to_x0(cfg, sched, x_noisy, t, out))
 
@@ -183,7 +247,8 @@ def p_losses(
     else:
         self_cond_input = x_noisy  # model default(self_cond, x) semantics
 
-    model_predict = model_fn(x_noisy, t, cond, self_cond_input, key_m2)
+    model_predict_full = model_fn(x_noisy, t, cond, self_cond_input, key_m2)
+    model_predict = _mean_part(model_predict_full)
 
     if cfg.pred_mode == "noise":
         recon_x0 = predict_start_from_noise(sched, x_noisy, t, model_predict)
@@ -196,20 +261,80 @@ def p_losses(
         recon_x0 = predict_start_from_v(sched, x_noisy, t, v)
         loss = _loss_fn(cfg, v, model_predict)
 
+    # Learned-variance VLB term (`diffusion_ddpm_pan.py:739-766`). Faithful
+    # to the reference text: the KL is computed but does NOT enter the loss
+    # (only the decoder NLL does, weighted 1e-4); the model mean is detached
+    # so only the variance head trains from this term. Deviations needed to
+    # make the (reference-asserted-off) path runnable: the model output is
+    # split before the main loss (the reference compares the 2C output
+    # against the C-channel target, a shape error), and the decoder NLL is
+    # batch-averaged so the loss stays scalar (the reference returns a [b]
+    # vector, which `loss.backward()` would reject).
+    if cfg.pred_var:
+        true_mean, _, true_log_var = q_posterior(sched, x_start, x_noisy, t)
+        model_mean, _, model_log_var, _ = p_mean_variance(
+            cfg, sched, model_fn, x_noisy, t, cond, self_cond_input,
+            clip_denoised=True, model_out=model_predict_full)
+        model_mean = jax.lax.stop_gradient(model_mean)
+        kl = _meanflat(normal_kl(true_mean, true_log_var,
+                                 model_mean, model_log_var)) * NAT
+        del kl  # computed-but-unused, exactly like the reference (:749-752)
+        decoder_nll = -discretized_gaussian_log_likelihood(
+            x_start, means=model_mean, log_scales=0.5 * model_log_var)
+        decoder_nll = jnp.mean(_meanflat(decoder_nll)) * NAT
+    else:
+        decoder_nll = 0.0
+
     # p2 reweighting (`:762-764`): scalar loss broadcast against [b] weights.
-    loss = jnp.mean(loss * sched.p2_loss_weight[t])
+    loss = jnp.mean(loss * sched.p2_loss_weight[t]) + decoder_nll * 1e-4
     return loss, recon_x0
 
 
 def p_mean_variance(cfg, sched, model_fn, x, t, cond, self_cond,
-                    clip_denoised: bool):
-    """p(x_{t-1}|x_t) parameters  (`diffusion_ddpm_pan.py:346-415`)."""
-    model_out = model_fn(x, t, cond, self_cond, None)
+                    clip_denoised: bool, *, model_out=None):
+    """p(x_{t-1}|x_t) parameters  (`diffusion_ddpm_pan.py:346-415`).
+
+    With `cfg.pred_var` the model output is [prediction, raw_frac] on the
+    channel axis; the variance is the sigmoid-interpolated log-variance
+    between the clipped posterior minimum and log-beta maximum
+    (`diffusion_ddpm_pan.py:405-414`).
+    """
+    if model_out is None:
+        model_out = model_fn(x, t, cond, self_cond, None)
+    pred_var_raw = None
+    if cfg.pred_var:
+        model_out, pred_var_raw = jnp.split(model_out, 2, axis=-1)
     x_recon = _prediction_to_x0(cfg, sched, x, t, model_out)
     if clip_denoised:
         x_recon = _clip_x0(cfg, x_recon, cond)
     mean, var, log_var = q_posterior(sched, x_recon, x, t)
+    if cfg.pred_var:
+        min_log = log_var
+        max_log = _extract(sched.posterior_log_variance_max, t)
+        frac = jax.nn.sigmoid(pred_var_raw)
+        log_var = frac * max_log + (1 - frac) * min_log
+        var = jnp.exp(log_var)
     return mean, var, log_var, x_recon
+
+
+def _aux_zeros(model_fn: ModelFn, x, t, cond):
+    """Zero-initialized pytree matching the aux structure a
+    `(prediction, aux)`-returning model emits."""
+    shapes = jax.eval_shape(
+        lambda a, tt, c, s: model_fn(a, tt, c, s, None)[1], x, t, cond, x)
+    return jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
+def _aux_accumulate(aux_sum, aux, t_scalar, aux_ts):
+    """aux_sum += aux, gated to `aux_ts` timesteps when given — the scan
+    equivalent of the reference's `saved_times` fm capture
+    (`models/unet_model_google.py:395-433`)."""
+    if aux_ts is None:
+        return jax.tree_util.tree_map(lambda s, a: s + a, aux_sum, aux)
+    hit = jnp.any(t_scalar == aux_ts)
+    return jax.tree_util.tree_map(
+        lambda s, a: s + jnp.where(hit, a, jnp.zeros_like(a)), aux_sum, aux)
 
 
 def p_sample_loop(
@@ -220,31 +345,52 @@ def p_sample_loop(
     cond: jnp.ndarray,
     *,
     clip_denoised: Optional[bool] = None,
+    repeat_noise: bool = False,
+    has_aux: bool = False,
+    aux_times: Optional[Sequence[int]] = None,
 ) -> jnp.ndarray:
     """Ancestral DDPM sampling (`diffusion_ddpm_pan.py:445-507`) as one
-    `lax.scan` — T model evals, fully on device."""
+    `lax.scan` — T model evals, fully on device.
+
+    `has_aux=True` expects `model_fn` to return `(prediction, aux_pytree)`
+    and makes the loop return `(img, aux_sum)`, where `aux_sum` sums the aux
+    over the model evals at `aux_times` (default: all steps) — the hook-free
+    equivalent of `get_interm_fm` sampling
+    (`diffusion_ddpm_pan.py:353-358,445-498`), matching
+    `DPMSolver(has_aux=True)` semantics.
+    """
     if clip_denoised is None:
         clip_denoised = cfg.clamp_range is not None
     b, h, w, _ = cond.shape
     key, init_key = jax.random.split(key)
     img = jax.random.normal(init_key, (b, h, w, cfg.channels))
     ts = jnp.arange(sched.num_timesteps - 1, -1, -1)
+    aux_ts = (None if aux_times is None
+              else jnp.asarray(list(aux_times), dtype=ts.dtype))
 
     def step(carry, t_scalar):
-        img, key = carry
+        img, key, aux_sum = carry
         key, nkey = jax.random.split(key)
         t = jnp.full((b,), t_scalar, dtype=jnp.int32)
         # self_cond == current noisy image in the reference loop (see module
         # docstring), so pass img.
+        if has_aux:
+            out, aux = model_fn(img, t, cond, img, None)
+            aux_sum = _aux_accumulate(aux_sum, aux, t_scalar, aux_ts)
+        else:
+            out = model_fn(img, t, cond, img, None)
         mean, _, log_var, _ = p_mean_variance(
-            cfg, sched, model_fn, img, t, cond, img, clip_denoised)
-        noise = jax.random.normal(nkey, img.shape, img.dtype)
+            cfg, sched, None, img, t, cond, img, clip_denoised,
+            model_out=out)
+        noise = noise_like(nkey, img.shape, img.dtype, repeat_noise)
         nonzero = (t_scalar != 0).astype(img.dtype)
         img = mean + nonzero * jnp.exp(0.5 * log_var) * noise
-        return (img, key), None
+        return (img, key, aux_sum), None
 
-    (img, _), _ = jax.lax.scan(step, (img, key), ts)
-    return img
+    aux0 = (_aux_zeros(model_fn, img, jnp.zeros((b,), jnp.int32), cond)
+            if has_aux else ())
+    (img, _, aux_sum), _ = jax.lax.scan(step, (img, key, aux0), ts)
+    return (img, aux_sum) if has_aux else img
 
 
 def p_sample_loop_trajectory(
@@ -255,6 +401,7 @@ def p_sample_loop_trajectory(
     cond: jnp.ndarray,
     *,
     clip_denoised: Optional[bool] = None,
+    repeat_noise: bool = False,
 ) -> jnp.ndarray:
     """DDPM sampling returning every intermediate sample, stacked on a new
     leading axis [T, B, H, W, C] — the jit-friendly equivalent of the
@@ -274,7 +421,7 @@ def p_sample_loop_trajectory(
         t = jnp.full((b,), t_scalar, dtype=jnp.int32)
         mean, _, log_var, _ = p_mean_variance(
             cfg, sched, model_fn, img, t, cond, img, clip_denoised)
-        noise = jax.random.normal(nkey, img.shape, img.dtype)
+        noise = noise_like(nkey, img.shape, img.dtype, repeat_noise)
         nonzero = (t_scalar != 0).astype(img.dtype)
         img = mean + nonzero * jnp.exp(0.5 * log_var) * noise
         return (img, key), img
@@ -324,10 +471,12 @@ def interpolate(
 
 
 def ddim_step(cfg, sched, model_fn, x, t, cond, key, *, eta: float = 0.0,
-              clip_denoised: bool = False):
+              clip_denoised: bool = False, repeat_noise: bool = False,
+              model_out=None):
     """One DDIM update (`diffusion_ddpm_pan.py:594-621`)."""
     _, _, _, pred_x0 = p_mean_variance(
-        cfg, sched, model_fn, x, t, cond, x, clip_denoised)
+        cfg, sched, model_fn, x, t, cond, x, clip_denoised,
+        model_out=model_out)
     eps = predict_noise_from_start(sched, x, t, pred_x0)
     acp = _extract(sched.alphas_cumprod, t)
     acp_prev = _extract(sched.alphas_cumprod_prev, t)
@@ -335,7 +484,7 @@ def ddim_step(cfg, sched, model_fn, x, t, cond, key, *, eta: float = 0.0,
              * jnp.sqrt(1 - acp / acp_prev))
     mean_pred = (pred_x0 * jnp.sqrt(acp_prev)
                  + jnp.sqrt(1 - acp_prev - sigma ** 2) * eps)
-    noise = jax.random.normal(key, x.shape, x.dtype)
+    noise = noise_like(key, x.shape, x.dtype, repeat_noise)
     nonzero = (t != 0).astype(x.dtype)[:, None, None, None]
     return mean_pred + nonzero * sigma * noise
 
@@ -349,6 +498,9 @@ def ddim_sample_loop(
     *,
     eta: float = 0.0,
     clip_denoised: bool = False,
+    repeat_noise: bool = False,
+    has_aux: bool = False,
+    aux_times: Optional[Sequence[int]] = None,
 ) -> jnp.ndarray:
     """DDIM sampling over an already-respaced schedule
     (`diffusion_ddpm_pan.py:624-666`) as one `lax.scan`.
@@ -356,19 +508,31 @@ def ddim_sample_loop(
     `sched_respaced` must come from `schedules.respace` — the denoiser sees the
     respaced indices 0..T'-1, matching the reference. `clip_denoised=False`
     matches the reference eval path exactly.
+
+    `has_aux`/`aux_times`: see `p_sample_loop` — returns `(img, aux_sum)`.
     """
     b, h, w, _ = cond.shape
     key, init_key = jax.random.split(key)
     img = jax.random.normal(init_key, (b, h, w, cfg.channels))
     ts = jnp.arange(sched_respaced.num_timesteps - 1, -1, -1)
+    aux_ts = (None if aux_times is None
+              else jnp.asarray(list(aux_times), dtype=ts.dtype))
 
     def step(carry, t_scalar):
-        img, key = carry
+        img, key, aux_sum = carry
         key, nkey = jax.random.split(key)
         t = jnp.full((b,), t_scalar, dtype=jnp.int32)
-        img = ddim_step(cfg, sched_respaced, model_fn, img, t, cond, nkey,
-                        eta=eta, clip_denoised=clip_denoised)
-        return (img, key), None
+        if has_aux:
+            out, aux = model_fn(img, t, cond, img, None)
+            aux_sum = _aux_accumulate(aux_sum, aux, t_scalar, aux_ts)
+        else:
+            out = model_fn(img, t, cond, img, None)
+        img = ddim_step(cfg, sched_respaced, None, img, t, cond, nkey,
+                        eta=eta, clip_denoised=clip_denoised,
+                        repeat_noise=repeat_noise, model_out=out)
+        return (img, key, aux_sum), None
 
-    (img, _), _ = jax.lax.scan(step, (img, key), ts)
-    return img
+    aux0 = (_aux_zeros(model_fn, img, jnp.zeros((b,), jnp.int32), cond)
+            if has_aux else ())
+    (img, _, aux_sum), _ = jax.lax.scan(step, (img, key, aux0), ts)
+    return (img, aux_sum) if has_aux else img

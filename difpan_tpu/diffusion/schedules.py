@@ -90,6 +90,12 @@ class Schedule(NamedTuple):
     posterior_mean_coef1: jnp.ndarray
     posterior_mean_coef2: jnp.ndarray
     p2_loss_weight: jnp.ndarray
+    # Upper bound for learned-variance interpolation (= log betas, the
+    # improved-DDPM choice). The reference reads a buffer of this name
+    # (`diffusion_ddpm_pan.py:407`) but never registers it (its pred_var
+    # path is guarded off by an assert at `:184`); we register the
+    # standard value so the path actually works.
+    posterior_log_variance_max: jnp.ndarray
 
     @property
     def num_timesteps(self) -> int:
@@ -139,6 +145,7 @@ def schedule_from_betas(
         p2_loss_weight=f32(
             (p2_loss_weight_k + alphas_cumprod / (1 - alphas_cumprod))
             ** -p2_loss_weight_gamma),
+        posterior_log_variance_max=f32(np.log(betas)),
     )
 
 

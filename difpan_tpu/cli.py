@@ -41,6 +41,12 @@ def _add_train(sub):
     p.add_argument("--valid-batch-size", type=int, default=16)
     p.add_argument("--compute-dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--pred-var", action="store_true",
+                   help="learned-variance head (2C-channel UNet output)")
+    p.add_argument("--show-recon", action="store_true",
+                   help="save recon grids every --recon-every iters")
+    p.add_argument("--recon-every", type=int, default=1000)
+    p.add_argument("--samples-dir", default="./samples")
     return p
 
 
@@ -59,6 +65,8 @@ def _add_test(sub):
     p.add_argument("--save-mat", default=None)
     p.add_argument("--save-png-dir", default=None)
     p.add_argument("--use-ema", action="store_true", default=True)
+    p.add_argument("--n-shards", type=int, default=1,
+                   help="shard eval batches over this many devices")
     p.add_argument("--tile", type=int, default=None,
                    help="overlap-tile size for huge full-res images")
     # model knobs must match the trained checkpoint
@@ -90,7 +98,9 @@ def cmd_train(args):
         channel_mults=tuple(int(m) for m in args.channel_mults.split(",")),
         valid_every=args.valid_every,
         valid_batch_size=args.valid_batch_size,
-        compute_dtype=args.compute_dtype)
+        compute_dtype=args.compute_dtype, pred_var=args.pred_var,
+        show_recon=args.show_recon, recon_every=args.recon_every,
+        samples_dir=args.samples_dir)
     restore_state = None
     if args.resume:
         from .train.engine import build_diffusion, build_model
@@ -150,13 +160,18 @@ def cmd_test(args):
             train=False)["params"]
         state = restore_checkpoint(args.weights, create_train_state(p0, tx))
         params = state.ema_params if args.use_ema else state.params
+    mesh = None
+    if args.n_shards > 1:
+        from .parallel import make_mesh
+        mesh = make_mesh(args.n_shards)
     with h5py.File(args.data, "r") as d:
         raw = {k: d[k][:] for k in d.keys()}
     metrics = evaluate(
         raw, params, args.dataset, full_res=args.full_res,
         n_steps=args.n_steps, section_counts=args.section_counts,
         batch_size=args.batch_size, save_mat_path=args.save_mat,
-        save_png_dir=args.save_png_dir, model=model, tile=args.tile)
+        save_png_dir=args.save_png_dir, model=model, tile=args.tile,
+        mesh=mesh)
     print(metrics)
 
 

@@ -16,6 +16,7 @@ Differences by design (TPU-first):
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Callable, Optional, Tuple
 
@@ -74,26 +75,39 @@ class TrainConfig:
     attn_res: Tuple[int, ...] = (8,)
     res_blocks: int = 3
     dropout: float = 0.2
+    pred_var: bool = False           # learned-variance head: the UNet emits
+                                     # 2*C channels, see DiffusionConfig
+    show_recon: bool = False         # save recon grids every `recon_every`
+                                     # iters (`diffusion_engine.py:250-270`)
+    recon_every: int = 1_000
+    save_valid_images: bool = True   # valid-sample grids + TB images
+                                     # (`diffusion_engine.py:303-320`)
     ckpt_dir: str = "./weights"
     run_dir: str = "./runs"
+    samples_dir: str = "./samples"
 
 
 def build_model(cfg: TrainConfig) -> UNetSR3DWT:
-    """The engine's UNet (`diffusion_engine.py:121-133`)."""
+    """The engine's UNet (`diffusion_engine.py:121-133`). With `pred_var`
+    the output head is doubled to [prediction, raw_var_frac] (the reference
+    leaves doubling `out_channel` to the caller, `models/sr3_dwt.py:50`)."""
+    out_mult = 2 if cfg.pred_var else 1
     return UNetSR3DWT(
-        in_channel=cfg.image_n_channel, out_channel=cfg.image_n_channel,
+        in_channel=cfg.image_n_channel,
+        out_channel=cfg.image_n_channel * out_mult,
         lms_channel=cfg.image_n_channel, pan_channel=cfg.pan_channel,
         inner_channel=cfg.inner_channel, norm_groups=cfg.norm_groups,
         channel_mults=cfg.channel_mults, attn_res=cfg.attn_res,
         res_blocks=cfg.res_blocks, dropout=cfg.dropout,
-        image_size=cfg.image_size, self_condition=cfg.self_condition)
+        image_size=cfg.image_size, self_condition=cfg.self_condition,
+        pred_var=cfg.pred_var)
 
 
 def build_diffusion(cfg: TrainConfig):
     dcfg = DiffusionConfig(
         channels=cfg.image_n_channel, pred_mode=cfg.pred_mode,
         loss_type=cfg.loss_type, clamp_range=(0.0, 1.0),
-        self_condition=cfg.self_condition)
+        self_condition=cfg.self_condition, pred_var=cfg.pred_var)
     sched = schedule_from_betas(
         make_beta_schedule(cfg.schedule_type, cfg.n_steps, cosine_s=8e-3))
     return dcfg, sched
@@ -109,8 +123,11 @@ def _dtype_casts(cfg: TrainConfig):
     return (lambda t: t), (lambda a: a)
 
 
-def make_train_step(cfg: TrainConfig, model, dcfg, sched, tx):
-    """Returns the pure train step (state, batch, key) -> (state, loss).
+def make_train_step(cfg: TrainConfig, model, dcfg, sched, tx,
+                    with_recon: bool = False):
+    """Returns the pure train step (state, batch, key) -> (state, loss)
+    — or (state, loss, recon_x0) with `with_recon` (the reference's
+    recon-grid artifact input, `diffusion_engine.py:231,250-270`).
 
     batch = (pan, lms, gt, wavelets), NHWC, sharded on the batch axis.
     """
@@ -138,7 +155,7 @@ def make_train_step(cfg: TrainConfig, model, dcfg, sched, tx):
             loss, recon = p_losses(dcfg, sched, model_fn, key, res, cond)
             return loss, recon
 
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, recon), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -146,6 +163,8 @@ def make_train_step(cfg: TrainConfig, model, dcfg, sched, tx):
                          decay=cfg.ema_decay, start_iter=cfg.ema_start_iter)
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state, ema_params=ema)
+        if with_recon:
+            return new_state, loss, recon
         return new_state, loss
 
     return train_step
@@ -232,10 +251,15 @@ def train(
     state = jax.device_put(state, repl_sh)
 
     train_step = jax.jit(
-        make_train_step(cfg, model, dcfg, sched, tx),
+        make_train_step(cfg, model, dcfg, sched, tx,
+                        with_recon=cfg.show_recon),
         in_shardings=(repl_sh, data_sh, repl_sh),
-        out_shardings=(repl_sh, repl_sh),
-        donate_argnums=(0,))
+        out_shardings=((repl_sh, repl_sh, data_sh) if cfg.show_recon
+                       else (repl_sh, repl_sh)),
+        # donate the state; also the batch buffers when the recon output can
+        # alias them (donation = input->output aliasing, so an un-aliasable
+        # donation would only warn)
+        donate_argnums=(0, 1) if cfg.show_recon else (0,))
     sample_fn = jax.jit(
         make_sample_fn(cfg, model, dcfg, sched),
         in_shardings=(repl_sh, repl_sh, data_sh, data_sh, data_sh),
@@ -248,15 +272,28 @@ def train(
                        drop_remainder=True),
         sharding=data_sh)
 
-    loss_acc = None
+    # host-side iteration counter: reading state.step from the device every
+    # iteration would block on the previous step and defeat async dispatch
+    step = int(jax.device_get(state.step))
     t0 = time.time()
     for batch in it:
-        step = int(jax.device_get(state.step))
         if step >= max_iters:
             break
         key, step_key = jax.random.split(key)
-        state, loss = train_step(state, batch, step_key)
+        if cfg.show_recon:
+            state, loss, recon = train_step(state, batch, step_key)
+        else:
+            state, loss = train_step(state, batch, step_key)
         step += 1
+
+        if cfg.show_recon and step % cfg.recon_every == 0:
+            # recon grid artifact (`diffusion_engine.py:250-270`): the
+            # predicted residual, clipped — first 64 samples, 8 per row
+            from .eval import make_rgb_grid, save_grid_png
+            grid = make_rgb_grid(np.asarray(jax.device_get(recon))[:64],
+                                 spec.rgb_channels, nrow=8)
+            save_grid_png(grid, os.path.join(
+                cfg.samples_dir, "recon_x", f"iter_{step}.png"))
 
         if step % cfg.log_every == 0:
             loss_val = float(jax.device_get(loss))
@@ -269,6 +306,7 @@ def train(
 
         if step % cfg.valid_every == 0:
             analysis = AnalysisPanAcc(ergas_ratio=spec.ergas_ratio)
+            last_gt = last_sr = None
             for vbatch in batch_iterator(valid_data, cfg.valid_batch_size,
                                          epochs=1, shuffle=False):
                 pan, lms, gt, wavelets = vbatch
@@ -284,7 +322,21 @@ def train(
                 key, vkey = jax.random.split(key)
                 sr = sample_fn(state.ema_params, vkey, jnp.asarray(pan),
                                jnp.asarray(lms), jnp.asarray(wavelets))
-                analysis(gt, jax.device_get(sr)[:n_real])
+                last_sr = np.asarray(jax.device_get(sr))[:n_real]
+                last_gt = np.asarray(gt)
+                analysis(last_gt, last_sr)
+            if cfg.save_valid_images and last_sr is not None:
+                # [hr grid | sr grid] side by side, PNG + TB image
+                # (`diffusion_engine.py:303-320`)
+                from .eval import make_rgb_grid, save_grid_png
+                grid = np.concatenate(
+                    [make_rgb_grid(last_gt, spec.rgb_channels, nrow=4),
+                     make_rgb_grid(last_sr, spec.rgb_channels, nrow=4)],
+                    axis=1)
+                save_grid_png(grid, os.path.join(
+                    cfg.samples_dir, "valid_samples", f"iter_{step}.png"))
+                if hasattr(logger, "log_image"):
+                    logger.log_image("valid_sample", grid, step)
             logger.print("---diffusion result---")
             logger.print(analysis.print_str())
             logger.log_scalars("diffusion_perf", analysis.acc_ave, step)

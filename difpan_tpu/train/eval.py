@@ -63,9 +63,17 @@ def evaluate(
     logger=None,
     tile: Optional[int] = None,
     tile_overlap: int = 32,
+    mesh=None,
 ) -> Dict[str, float]:
     """Run the full eval protocol; returns the averaged metric dict
-    (empty for full-res). `test_data` is an h5-like dict or a dataset."""
+    (empty for full-res). `test_data` is an h5-like dict or a dataset.
+
+    `mesh`: an optional `jax.sharding.Mesh` with a `data` axis — the eval
+    batch is sharded across it and params replicated, the same layout as the
+    train-loop validation sampler. `batch_size` must divide evenly by the
+    mesh size (padded batches keep one static compiled shape). Metrics are
+    computed on host from the gathered result, so they are identical to the
+    single-device run."""
     spec = get_dataset_spec(dataset_name)
     division = spec.division if division is None else division
     _print = logger.print if logger is not None else print
@@ -102,7 +110,20 @@ def evaluate(
         s = ddim_sample_loop(dcfg, sched_re, model_fn, key, cond)
         return jnp.clip(s + lms, 0.0, 1.0)
 
-    sample = jax.jit(sample)
+    if mesh is not None:
+        from ..parallel import batch_sharding, replicated_sharding
+        assert batch_size % mesh.size == 0, (
+            f"batch_size {batch_size} must be divisible by mesh size "
+            f"{mesh.size}")
+        data_sh = batch_sharding(mesh)
+        repl_sh = replicated_sharding(mesh)
+        params = jax.device_put(params, repl_sh)
+        sample = jax.jit(
+            sample,
+            in_shardings=(repl_sh, repl_sh, data_sh, data_sh, data_sh),
+            out_shardings=data_sh)
+    else:
+        sample = jax.jit(sample)
 
     analysis = (AnalysisPanAcc(ergas_ratio=spec.ergas_ratio)
                 if not full_res else NonAnalysisPanAcc())
@@ -156,14 +177,11 @@ def evaluate(
     return dict(analysis.acc_ave)
 
 
-def _save_rgb_grid(sr_nhwc: np.ndarray, rgb_channels, path: str,
-                   nrow: int = 4):
-    """PNG grid of the selected RGB bands (`diffusion_engine.py:453-475`)."""
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    imgs = np.clip(sr_nhwc[..., list(rgb_channels)], 0, 1)
+def make_rgb_grid(imgs_nhwc: np.ndarray, rgb_channels,
+                  nrow: int = 4) -> np.ndarray:
+    """Tile a batch's selected RGB bands into one [H', W', 3] array — the
+    `torchvision.make_grid` analog (`diffusion_engine.py:255,304-305`)."""
+    imgs = np.clip(imgs_nhwc[..., list(rgb_channels)], 0, 1)
     n = imgs.shape[0]
     ncol = min(nrow, n)
     nr = -(-n // ncol)
@@ -172,9 +190,24 @@ def _save_rgb_grid(sr_nhwc: np.ndarray, rgb_channels, path: str,
     for i, im in enumerate(imgs):
         r, c = divmod(i, ncol)
         grid[r * h:(r + 1) * h, c * w:(c + 1) * w] = im
+    return grid
+
+
+def save_grid_png(grid: np.ndarray, path: str):
+    """Save an [H, W, 3] grid as a PNG (`diffusion_engine.py:257-270`)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     fig, ax = plt.subplots(figsize=(max(1, grid.shape[1] // 100),
                                     max(1, grid.shape[0] // 100)))
     ax.imshow(grid)
     ax.set_axis_off()
     fig.savefig(path, dpi=200, bbox_inches="tight", pad_inches=0)
     plt.close(fig)
+
+
+def _save_rgb_grid(sr_nhwc: np.ndarray, rgb_channels, path: str,
+                   nrow: int = 4):
+    """PNG grid of the selected RGB bands (`diffusion_engine.py:453-475`)."""
+    save_grid_png(make_rgb_grid(sr_nhwc, rgb_channels, nrow), path)

@@ -96,3 +96,20 @@ def test_evaluate_hisr_family(tmp_path):
         batch_size=2, model=model,
         logger=type("L", (), {"print": staticmethod(lambda *a: None)})())
     assert set(metrics) == {"SAM", "ERGAS", "PSNR", "CC", "SSIM"}
+
+
+def test_evaluate_mesh_sharded_matches_single_device():
+    """Batch-sharded eval over the 8-device mesh produces identical metrics
+    to the single-device run (VERDICT item 5)."""
+    from difpan_tpu.parallel import make_mesh
+    d = make_synthetic_pan_h5(n=10, channels=4, size=32, division=1023.0)
+    model = _tiny_model()
+    params = _params(model)
+    null = type("L", (), {"print": staticmethod(lambda *a: None)})()
+    m1 = evaluate(d, params, "gf2", n_steps=10, section_counts="ddim5",
+                  batch_size=8, model=model, logger=null, seed=7)
+    m2 = evaluate(d, params, "gf2", n_steps=10, section_counts="ddim5",
+                  batch_size=8, model=model, logger=null, seed=7,
+                  mesh=make_mesh(8))
+    for k in m1:
+        np.testing.assert_allclose(m1[k], m2[k], rtol=2e-4, err_msg=k)

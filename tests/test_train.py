@@ -101,12 +101,18 @@ def test_optimizer_lr_schedule_and_clip():
 
 def test_full_train_loop_with_validation_and_checkpoint(tmp_path):
     cfg = _tiny_cfg(ckpt_dir=str(tmp_path / "ckpts"),
-                    run_dir=str(tmp_path / "runs"))
+                    run_dir=str(tmp_path / "runs"),
+                    samples_dir=str(tmp_path / "samples"),
+                    show_recon=True, recon_every=10)
     ds = _dataset()
     mesh = make_mesh(8)
     state = train(ds, ds, cfg, mesh=mesh, logger=_NullLogger(),
                   max_iterations=20)
     assert int(jax.device_get(state.step)) == 20
+    # training-time image artifacts (`diffusion_engine.py:250-270,303-320`)
+    for rel in ("recon_x/iter_10.png", "recon_x/iter_20.png",
+                "valid_samples/iter_10.png", "valid_samples/iter_20.png"):
+        assert (tmp_path / "samples" / rel).exists(), rel
     # two validations (at 10 and 20) -> checkpoints saved
     from difpan_tpu.utils.checkpoints import latest_step, restore_checkpoint
     assert latest_step(cfg.ckpt_dir) == 20
@@ -244,3 +250,37 @@ def test_train_validation_covers_remainder(tmp_path):
     state = train(ds, ds, cfg, mesh=mesh, logger=_NullLogger(),
                   max_iterations=5, on_valid=on_valid)
     assert 5 in seen and np.isfinite(list(seen[5].values())).all()
+
+
+def test_train_step_pred_var(tmp_path):
+    """Learned-variance engine config: 2C-output UNet + pred_var loss train
+    end-to-end on the tiny fixture (VERDICT item 4)."""
+    cfg = _tiny_cfg(pred_var=True)
+    ds = _dataset(n=8)
+    model = build_model(cfg)
+    assert model.out_channel == 2 * cfg.image_n_channel
+    dcfg, sched = build_diffusion(cfg)
+    assert dcfg.pred_var
+    tx = make_optimizer(1e-3, 1e-4, grad_clip_norm=1.0)
+    pan, lms, gt, wav = ds.batch(np.arange(8))
+    batch = tuple(jnp.asarray(a) for a in (pan, lms, gt, wav))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 32, 32, 4)), jnp.array([0]),
+        jnp.zeros((1, 32, 32, 12)), train=False)["params"]
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(cfg, model, dcfg, sched, tx),
+                   donate_argnums=(0,))
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for i in range(3):
+        key, k = jax.random.split(key)
+        state, loss = step(state, batch, k)
+        losses.append(float(jax.device_get(loss)))
+    assert all(np.isfinite(losses))
+    # the sampler consumes the 2C head and returns C channels
+    sfn = jax.jit(make_sample_fn(cfg, model, dcfg, sched, "ddim5"))
+    sr = sfn(state.ema_params, jax.random.PRNGKey(2), batch[0], batch[1],
+             batch[3])
+    assert sr.shape == (8, 32, 32, 4)
+    assert np.all(np.isfinite(np.asarray(sr)))

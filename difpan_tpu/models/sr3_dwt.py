@@ -35,21 +35,33 @@ from .common import (
 
 class CondInjection(nn.Module):
     """CSM: conv3x3 -> GN -> SiLU -> zero-init conv1x1 -> (scale, shift)
-    FiLM injection (`models/sr3_dwt.py:376-396`)."""
+    FiLM injection (`models/sr3_dwt.py:376-396`).
+
+    The whole branch producing (scale, shift) depends ONLY on `cond`. During
+    sampling `cond` is constant across every NFE step, so the branch is
+    loop-invariant in the sampler's `lax.scan`; `cond_only=True` computes
+    just the (scale, shift) cache and `cached=` consumes it, hoisting the
+    branch out of the scan (XLA does not do cross-iteration code motion).
+    """
     hidden_dim: int
     groups: int = 32
 
     @nn.compact
-    def __call__(self, x, cond):
-        h = Conv(self.hidden_dim * 4, 3, use_bias=False, name="body_conv1")(
-            cond)
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
-                         name="body_norm")(h)
-        h = nn.silu(h)
-        h = nn.Conv(self.hidden_dim * 2, (1, 1), use_bias=True,
-                    kernel_init=nn.initializers.zeros,
-                    bias_init=nn.initializers.zeros, name="body_conv2")(h)
-        scale, shift = jnp.split(h, 2, axis=-1)
+    def __call__(self, x, cond, *, cached=None, cond_only: bool = False):
+        if cached is not None:
+            scale, shift = cached
+        else:
+            h = Conv(self.hidden_dim * 4, 3, use_bias=False,
+                     name="body_conv1")(cond)
+            h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                             name="body_norm")(h)
+            h = nn.silu(h)
+            h = nn.Conv(self.hidden_dim * 2, (1, 1), use_bias=True,
+                        kernel_init=nn.initializers.zeros,
+                        bias_init=nn.initializers.zeros, name="body_conv2")(h)
+            scale, shift = jnp.split(h, 2, axis=-1)
+        if cond_only:
+            return (scale, shift)
         x = Conv(self.hidden_dim, 1, name="x_conv")(x)
         return x * (1 + scale) + shift
 
@@ -71,7 +83,24 @@ class FastAttnCondInjection(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, cond, *, train: bool = False):
+    def __call__(self, x, cond, *, train: bool = False, cached=None,
+                 cond_only: bool = False):
+        """`cond_only=True` returns the c x c context matrix — the entire
+        k/v branch (kv convs, k softmax, k.v^T) depends only on `cond` and
+        is loop-invariant during sampling; `cached=` consumes it so the scan
+        body only computes the q branch and the context.q product."""
+        if cached is None:
+            kv = Conv(cond.shape[-1], 3, use_bias=False,
+                      feature_group_count=cond.shape[-1], name="kv_dw")(cond)
+            kv = Conv(self.qkv_dim * 2, 1, name="kv_pw")(kv)
+            k, v = jnp.split(kv, 2, axis=-1)
+            # NHWC: W is axis 2 (reference softmaxes NCHW dim -1)
+            k = jax.nn.softmax(k, axis=2)
+        if cond_only:
+            k = rearrange(k, "b H W (h d) -> b h d (H W)", h=self.nheads)
+            v = rearrange(v, "b H W (h d) -> b h d (H W)", h=self.nheads)
+            return jnp.einsum("bhdn,bhen->bhde", k, v)
+
         fea_dim = x.shape[-1]
         assert fea_dim % self.nheads == 0
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
@@ -80,17 +109,17 @@ class FastAttnCondInjection(nn.Module):
         q = Conv(fea_dim, 3, use_bias=False, feature_group_count=fea_dim,
                  name="q_dw")(x)
         q = Conv(self.qkv_dim, 1, name="q_pw")(q)
-        kv = Conv(cond.shape[-1], 3, use_bias=False,
-                  feature_group_count=cond.shape[-1], name="kv_dw")(cond)
-        kv = Conv(self.qkv_dim * 2, 1, name="kv_pw")(kv)
-        k, v = jnp.split(kv, 2, axis=-1)
-
-        # NHWC: H is axis 1, W is axis 2 (reference softmaxes NCHW dims -2/-1)
+        # H is axis 1 (reference softmaxes NCHW dim -2)
         q = jax.nn.softmax(q, axis=1)
-        k = jax.nn.softmax(k, axis=2)
 
         scale = 1.0 / math.sqrt(self.qkv_dim // self.nheads)
-        if self.use_pallas:
+        if cached is not None:
+            context = cached
+            q = rearrange(q, "b H W (h d) -> b h d (H W)",
+                          h=self.nheads) * scale
+            out = jnp.einsum("bhde,bhdn->bhen", context, q)
+            out = rearrange(out, "b h d (H W) -> b H W (h d)", H=x.shape[1])
+        elif self.use_pallas:
             from ..ops.pallas import fwm_linear_attention
             out = fwm_linear_attention(q * scale, k, v, self.nheads)
         else:
@@ -274,25 +303,41 @@ class ResnetBlocWithAttn(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, time_emb, cond=None, *, train: bool = False):
+    def __call__(self, x, time_emb, cond=None, *, train: bool = False,
+                 cond_cached=None, cond_only: bool = False,
+                 x_channels: Optional[int] = None):
+        """`cond_only=True`: compute and return only this block's
+        loop-invariant cond features ((scale, shift) for CSM, the context
+        matrix for FWM); `x` may be None, FWM needs `x_channels` (the entry
+        channel count) to size its kv projection. `cond_cached=` consumes a
+        previously returned entry, skipping the cond branch."""
         if self.cond_dim is not None:
             # resize only if the caller didn't pre-resize (the UNet hoists
             # one resize per resolution out of the 52 per-block resizes the
             # reference does — identical math, resize is deterministic)
-            if cond.shape[1:3] != x.shape[1:3]:
+            if cond is None:
+                c = None
+            elif not cond_only and cond.shape[1:3] != x.shape[1:3]:
                 c = resize_bilinear(cond, x.shape[1], x.shape[2])
             else:
                 c = cond
             if self.encoder:
-                x = CondInjection(hidden_dim=self.dim_out,
-                                  groups=self.norm_groups, name="cond_inj")(
-                    x, c)
+                inj = CondInjection(hidden_dim=self.dim_out,
+                                    groups=self.norm_groups, name="cond_inj")
+                if cond_only:
+                    return inj(None, c, cond_only=True)
+                x = inj(x, c, cached=cond_cached)
             else:
-                x = FastAttnCondInjection(
-                    qkv_dim=x.shape[-1], dim_out=self.dim_out,
+                inj = FastAttnCondInjection(
+                    qkv_dim=(x_channels if cond_only else x.shape[-1]),
+                    dim_out=self.dim_out,
                     groups=self.norm_groups, nheads=8, drop_path_prob=0.2,
-                    use_pallas=self.use_pallas,
-                    name="cond_inj")(x, c, train=train)
+                    use_pallas=self.use_pallas, name="cond_inj")
+                if cond_only:
+                    return inj(None, c, cond_only=True)
+                x = inj(x, c, train=train, cached=cond_cached)
+        elif cond_only:
+            return None
         x = ResnetBlock(self.dim_out, dropout=self.dropout,
                         norm_groups=self.norm_groups,
                         use_pallas=self.use_pallas, name="res_block")(
@@ -334,7 +379,87 @@ class UNetSR3DWT(nn.Module):
 
     @nn.compact
     def __call__(self, x, time, cond=None, self_cond=None, *,
-                 train: bool = False):
+                 train: bool = False, cond_cache=None,
+                 cond_only: bool = False):
+        """`cond_only=True` (x/time may be None): compute and return the
+        pytree of loop-invariant cond features — every CSM (scale, shift)
+        and every FWM context matrix. During sampling these are constant
+        across all NFE steps, so computing them once OUTSIDE the sampler's
+        `lax.scan` and passing them back via `cond_cache=` removes the whole
+        cond-processing tree (~40% of the ops) from every step. Numerics are
+        identical; tests assert bit-equality.
+        """
+        enc_cond_dim = self.lms_channel + self.pan_channel
+        dec_cond_dim = self.lms_channel + self.pan_channel * 3
+        cond_enc = cond[..., :enc_cond_dim] if cond is not None else None
+        cond_dec = cond[..., -dec_cond_dim:] if cond is not None else None
+
+        num_mults = len(self.channel_mults)
+        now_res = self.image_size
+
+        # hoisted cond pyramid: one bilinear resize per UNet resolution
+        # instead of one per block (reference: `models/sr3_dwt.py:661-663`)
+        cond_pyr = {}
+        if cond is not None:
+            h0, w0 = cond.shape[1], cond.shape[2]
+            for lvl in range(num_mults):
+                hl, wl = h0 // (2 ** lvl), w0 // (2 ** lvl)
+                cond_pyr[hl] = (
+                    cond_enc if hl == cond_enc.shape[1]
+                    else resize_bilinear(cond_enc, hl, wl),
+                    cond_dec if hl == cond_dec.shape[1]
+                    else resize_bilinear(cond_dec, hl, wl),
+                )
+
+        def enc_block(ind, blk, channel_mult, use_attn):
+            return ResnetBlocWithAttn(
+                dim_out=channel_mult, cond_dim=enc_cond_dim,
+                norm_groups=self.norm_groups, dropout=self.dropout,
+                with_attn=use_attn, encoder=True,
+                use_pallas=self.use_pallas, name=f"down_{ind}_{blk}")
+
+        def dec_block(ind, blk, channel_mult, use_attn):
+            return ResnetBlocWithAttn(
+                dim_out=channel_mult, cond_dim=dec_cond_dim,
+                norm_groups=self.norm_groups, dropout=self.dropout,
+                with_attn=use_attn, encoder=False,
+                use_pallas=self.use_pallas, name=f"up_{ind}_{blk}")
+
+        if cond_only:
+            assert cond is not None
+            h0 = cond.shape[1]
+            cache = {"enc": [], "dec": []}
+            feat_channels = [self.inner_channel]
+            pre_channel = self.inner_channel
+            div = 1
+            for ind in range(num_mults):
+                is_last = ind == num_mults - 1
+                channel_mult = self.inner_channel * self.channel_mults[ind]
+                for blk in range(self.res_blocks):
+                    cache["enc"].append(
+                        enc_block(ind, blk, channel_mult, False)(
+                            None, None, cond_pyr[h0 // div][0],
+                            cond_only=True))
+                    feat_channels.append(channel_mult)
+                    pre_channel = channel_mult
+                if not is_last:
+                    feat_channels.append(pre_channel)
+                    div *= 2
+            cur = pre_channel
+            for ind in reversed(range(num_mults)):
+                is_last = ind < 1
+                channel_mult = self.inner_channel * self.channel_mults[ind]
+                for blk in range(self.res_blocks + 1):
+                    skip_ch = feat_channels.pop()
+                    cache["dec"].append(
+                        dec_block(ind, blk, channel_mult, False)(
+                            None, None, cond_pyr[h0 // div][1],
+                            cond_only=True, x_channels=cur + skip_ch))
+                    cur = channel_mult
+                if not is_last:
+                    div //= 2
+            return cache
+
         if self.self_condition:
             if self_cond is None:
                 self_cond = x
@@ -348,27 +473,10 @@ class UNetSR3DWT(nn.Module):
         t = (NoiseLevelMLP(self.inner_channel, name="noise_level_mlp")(time)
              if self.with_noise_level_emb else None)
 
-        enc_cond_dim = self.lms_channel + self.pan_channel
-        dec_cond_dim = self.lms_channel + self.pan_channel * 3
-        cond_enc = cond[..., :enc_cond_dim] if cond is not None else None
-        cond_dec = cond[..., -dec_cond_dim:] if cond is not None else None
-
-        num_mults = len(self.channel_mults)
-        now_res = self.image_size
-
-        # hoisted cond pyramid: one bilinear resize per UNet resolution
-        # instead of one per block (reference: `models/sr3_dwt.py:661-663`)
-        cond_pyr = {}
-        if cond is not None:
-            h0, w0 = x.shape[1], x.shape[2]
-            for lvl in range(num_mults):
-                hl, wl = h0 // (2 ** lvl), w0 // (2 ** lvl)
-                cond_pyr[hl] = (
-                    cond_enc if hl == cond_enc.shape[1]
-                    else resize_bilinear(cond_enc, hl, wl),
-                    cond_dec if hl == cond_dec.shape[1]
-                    else resize_bilinear(cond_dec, hl, wl),
-                )
+        enc_cache = (iter(cond_cache["enc"]) if cond_cache is not None
+                     else None)
+        dec_cache = (iter(cond_cache["dec"]) if cond_cache is not None
+                     else None)
 
         # --- encoder ---------------------------------------------------
         x = Conv(self.inner_channel, 3, name="head_conv")(x)
@@ -380,14 +488,11 @@ class UNetSR3DWT(nn.Module):
             use_attn = now_res in self.attn_res
             channel_mult = self.inner_channel * self.channel_mults[ind]
             for blk in range(self.res_blocks):
-                x = ResnetBlocWithAttn(
-                    dim_out=channel_mult, cond_dim=enc_cond_dim,
-                    norm_groups=self.norm_groups, dropout=self.dropout,
-                    with_attn=use_attn, encoder=True,
-                    use_pallas=self.use_pallas,
-                    name=f"down_{ind}_{blk}")(
+                x = enc_block(ind, blk, channel_mult, use_attn)(
                     x, t, cond_pyr[x.shape[1]][0] if cond is not None
-                    else None, train=train)
+                    else None, train=train,
+                    cond_cached=(next(enc_cache) if enc_cache is not None
+                                 else None))
                 feats.append(x)
                 feat_channels.append(channel_mult)
                 pre_channel = channel_mult
@@ -416,15 +521,12 @@ class UNetSR3DWT(nn.Module):
             channel_mult = self.inner_channel * self.channel_mults[ind]
             for blk in range(self.res_blocks + 1):
                 skip = feats.pop()
-                x = ResnetBlocWithAttn(
-                    dim_out=channel_mult, cond_dim=dec_cond_dim,
-                    norm_groups=self.norm_groups, dropout=self.dropout,
-                    with_attn=use_attn, encoder=False,
-                    use_pallas=self.use_pallas,
-                    name=f"up_{ind}_{blk}")(
+                x = dec_block(ind, blk, channel_mult, use_attn)(
                     jnp.concatenate([x, skip], axis=-1), t,
                     cond_pyr[x.shape[1]][1] if cond is not None else None,
-                    train=train)
+                    train=train,
+                    cond_cached=(next(dec_cache) if dec_cache is not None
+                                 else None))
             if not is_last:
                 x = Upsample(channel_mult, name=f"upsample_{ind}")(x)
                 now_res *= 2

@@ -140,17 +140,22 @@ def make_train_step(cfg: TrainConfig, model, dcfg, sched, tx,
 
         def loss_fn(params):
             lp = cast_in(params)
+            # hoist the loop-invariant cond features: p_losses may run the
+            # UNet twice (self-cond coin), both on the same cond — compute
+            # the cond tree once, with gradients flowing through the cache
+            cache = model.apply({"params": lp}, None, None, cast_in(cond),
+                                cond_only=True)
 
-            def apply_fn(p, x, t, c, sc, k):
-                return model.apply({"params": p}, x, t, c, sc, train=True,
-                                   rngs={"dropout": k})
+            def apply_fn(p, ca, x, t, sc, k):
+                return model.apply({"params": p}, x, t, None, sc, train=True,
+                                   rngs={"dropout": k}, cond_cache=ca)
 
             if cfg.remat:
                 apply_fn = jax.checkpoint(apply_fn,
                                           static_argnums=())  # full remat
 
             def model_fn(x, t, c, sc, k):
-                out = apply_fn(lp, cast_in(x), t, cast_in(c), cast_in(sc), k)
+                out = apply_fn(lp, cache, cast_in(x), t, cast_in(sc), k)
                 return cast_out(out)
             loss, recon = p_losses(dcfg, sched, model_fn, key, res, cond)
             return loss, recon
@@ -182,10 +187,14 @@ def make_sample_fn(cfg: TrainConfig, model, dcfg, sched,
     def sample_fn(params, key, pan, lms, wavelets):
         cond = pack_cond(lms, pan, wavelets)
         lp = cast_in(params)
+        # the cond features are identical for all T' scan steps — compute
+        # them once outside the sampling scan (bit-identical numerics)
+        cache = model.apply({"params": lp}, None, None, cast_in(cond),
+                            cond_only=True)
 
         def model_fn(x, t, c, s_c, k):
-            out = model.apply({"params": lp}, cast_in(x), t, cast_in(c),
-                              cast_in(s_c), train=False)
+            out = model.apply({"params": lp}, cast_in(x), t, None,
+                              cast_in(s_c), train=False, cond_cache=cache)
             return cast_out(out)
 
         sample = ddim_sample_loop(dcfg, sched_re, model_fn, key, cond)

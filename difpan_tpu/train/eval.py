@@ -103,9 +103,13 @@ def evaluate(
 
     def sample(params, key, pan, lms, wavelets):
         cond = pack_cond(lms, pan, wavelets)
+        # loop-invariant cond features, hoisted out of the sampling scan
+        cache = model.apply({"params": params}, None, None, cond,
+                            cond_only=True)
 
         def model_fn(x, t, c, sc, k):
-            return model.apply({"params": params}, x, t, c, sc, train=False)
+            return model.apply({"params": params}, x, t, None, sc,
+                               train=False, cond_cache=cache)
 
         s = ddim_sample_loop(dcfg, sched_re, model_fn, key, cond)
         return jnp.clip(s + lms, 0.0, 1.0)
@@ -180,8 +184,14 @@ def evaluate(
 def make_rgb_grid(imgs_nhwc: np.ndarray, rgb_channels,
                   nrow: int = 4) -> np.ndarray:
     """Tile a batch's selected RGB bands into one [H', W', 3] array — the
-    `torchvision.make_grid` analog (`diffusion_engine.py:255,304-305`)."""
-    imgs = np.clip(imgs_nhwc[..., list(rgb_channels)], 0, 1)
+    `torchvision.make_grid` analog (`diffusion_engine.py:255,304-305`).
+
+    Channel indices are clamped to the actual band count so registry specs
+    for full datasets (e.g. 31-band CAVE) also work on reduced-band subsets.
+    """
+    n_bands = imgs_nhwc.shape[-1]
+    chans = [min(int(c), n_bands - 1) for c in rgb_channels]
+    imgs = np.clip(imgs_nhwc[..., chans], 0, 1)
     n = imgs.shape[0]
     ncol = min(nrow, n)
     nr = -(-n // ncol)

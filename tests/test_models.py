@@ -146,3 +146,24 @@ def test_cond_injection_variants():
                       train=False)
     y = mod.apply(params, x, cond, train=False)
     assert y.shape == (2, 16, 16, 8)
+
+
+def test_cond_cache_bit_identical():
+    """The hoisted cond-feature cache (`cond_only=True` + `cond_cache=`)
+    must reproduce the plain forward bit-for-bit — it is the same math,
+    computed once instead of per scan step."""
+    net = UNetSR3DWT(
+        in_channel=4, out_channel=4, lms_channel=4, pan_channel=1,
+        inner_channel=8, norm_groups=1, channel_mults=(1, 2), attn_res=(8,),
+        res_blocks=2, dropout=0.0, image_size=16, self_condition=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 4))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 12))
+    t = jnp.array([3, 11])
+    params = net.init({"params": jax.random.PRNGKey(0)}, x, t, cond,
+                      train=False)["params"]
+    ref = net.apply({"params": params}, x, t, cond, train=False)
+    cache = net.apply({"params": params}, None, None, cond, cond_only=True)
+    assert len(cache["enc"]) == 4 and len(cache["dec"]) == 6
+    out = net.apply({"params": params}, x, t, None, cond_cache=cache,
+                    train=False)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))

@@ -501,6 +501,7 @@ def ddim_sample_loop(
     repeat_noise: bool = False,
     has_aux: bool = False,
     aux_times: Optional[Sequence[int]] = None,
+    init_noise: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """DDIM sampling over an already-respaced schedule
     (`diffusion_ddpm_pan.py:624-666`) as one `lax.scan`.
@@ -510,10 +511,12 @@ def ddim_sample_loop(
     matches the reference eval path exactly.
 
     `has_aux`/`aux_times`: see `p_sample_loop` — returns `(img, aux_sum)`.
+    `init_noise`: explicit x_T (for cross-framework deterministic parity).
     """
     b, h, w, _ = cond.shape
     key, init_key = jax.random.split(key)
-    img = jax.random.normal(init_key, (b, h, w, cfg.channels))
+    img = (init_noise if init_noise is not None
+           else jax.random.normal(init_key, (b, h, w, cfg.channels)))
     ts = jnp.arange(sched_respaced.num_timesteps - 1, -1, -1)
     aux_ts = (None if aux_times is None
               else jnp.asarray(list(aux_times), dtype=ts.dtype))

@@ -62,6 +62,107 @@ def sharded_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray, axis_name: str,
     ) + (bias if bias is not None else 0.0)
 
 
+def sharded_groupnorm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+                      groups: int, axis_name: str,
+                      eps: float = 1e-5) -> jnp.ndarray:
+    """GroupNorm over an H-sharded NHWC slab with GLOBAL statistics.
+
+    GroupNorm(1) (the engine config) normalizes over the whole (H, W, C)
+    extent, so an H-sharded forward must reduce its moments across shards:
+    local sum / sum-of-squares -> `psum` over the mesh axis -> normalize
+    locally. Bit-compatible with `nn.GroupNorm` up to fp reassociation.
+    """
+    b, h, w, c = x.shape
+    xg = x.reshape(b, h, w, groups, c // groups)
+    s = jnp.sum(xg, axis=(1, 2, 4), keepdims=True)
+    ss = jnp.sum(xg * xg, axis=(1, 2, 4), keepdims=True)
+    s = jax.lax.psum(s, axis_name)
+    ss = jax.lax.psum(ss, axis_name)
+    n = h * w * (c // groups) * jax.lax.axis_size(axis_name)
+    mean = s / n
+    var = ss / n - mean * mean
+    xn = (xg - mean) * jax.lax.rsqrt(var + eps)
+    return xn.reshape(b, h, w, c) * scale + bias
+
+
+def _swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def sharded_block(p, x, axis_name: str, groups: int = 1) -> jnp.ndarray:
+    """`models/common.py:Block` (GN -> Swish -> conv3x3) on an H-slab
+    (eval mode: no dropout). `p` is the flax param subtree of a Block."""
+    h = sharded_groupnorm(x, p["norm"]["scale"], p["norm"]["bias"], groups,
+                          axis_name)
+    h = _swish(h)
+    return sharded_conv3x3(h, p["conv"]["conv"]["kernel"], axis_name,
+                           bias=p["conv"]["conv"]["bias"])
+
+
+def sharded_resnet_block(p, x, t_emb, axis_name: str,
+                         groups: int = 1) -> jnp.ndarray:
+    """`models/common.py:ResnetBlock` on an H-slab: two Blocks + time-FiLM
+    add + skip conv. `p` is the param subtree of a ResnetBlock."""
+    h = sharded_block(p["block1"], x, axis_name, groups)
+    film = (t_emb @ p["noise_func"]["noise_func"]["dense"]["kernel"]
+            + p["noise_func"]["noise_func"]["dense"]["bias"])
+    h = h + film[:, None, None, :]
+    h = sharded_block(p["block2"], h, axis_name, groups)
+    if "res_conv" in p:
+        x = jnp.einsum("bhwi,io->bhwo", x,
+                       p["res_conv"]["conv"]["kernel"][0, 0]) \
+            + p["res_conv"]["conv"]["bias"]
+    return h + x
+
+
+def sharded_cond_injection(p, x, cond, axis_name: str,
+                           groups: int = 1) -> jnp.ndarray:
+    """CSM `CondInjection` on an H-slab (cond pre-resized to x's res and
+    H-sharded the same way). `p` is the param subtree of a CondInjection."""
+    h = sharded_conv3x3(cond, p["body_conv1"]["conv"]["kernel"],
+                        axis_name)
+    h = sharded_groupnorm(h, p["body_norm"]["scale"], p["body_norm"]["bias"],
+                          groups, axis_name)
+    h = jax.nn.silu(h)
+    h = (jnp.einsum("bhwi,io->bhwo", h, p["body_conv2"]["kernel"][0, 0])
+         + p["body_conv2"]["bias"])
+    scale, shift = jnp.split(h, 2, axis=-1)
+    x = (jnp.einsum("bhwi,io->bhwo", x,
+                    p["x_conv"]["conv"]["kernel"][0, 0])
+         + p["x_conv"]["conv"]["bias"])
+    return x * (1 + scale) + shift
+
+
+def sharded_downsample(p, x, axis_name: str) -> jnp.ndarray:
+    """Strided-2 3x3 conv on an H-slab (`models/common.py:Downsample`).
+    Requires an even per-shard H so output rows land on shard boundaries."""
+    assert x.shape[1] % 2 == 0, "per-shard H must be even for stride 2"
+    return sharded_conv3x3(x, p["conv"]["conv"]["kernel"], axis_name,
+                           bias=p["conv"]["conv"]["bias"], stride=2)
+
+
+def sharded_encoder_stage(block_params, downsample_params, x, t_emb, cond,
+                          axis_name: str, groups: int = 1) -> jnp.ndarray:
+    """One full UNetSR3-DWT encoder stage on H-sharded slabs under
+    `shard_map`: N x (CSM CondInjection + ResnetBlock) then Downsample —
+    the stage-level lift of the halo-exchange conv primitive, for single
+    images whose activations exceed one chip's HBM
+    (SURVEY §5 'long-context / spatial'; e.g. 1000x1000 Harvard full-res,
+    `diffusion_engine.py:373-377`).
+
+    `block_params`: list of ResnetBlocWithAttn param subtrees (encoder
+    layout: {cond_inj, res_block}); `downsample_params`: Downsample subtree
+    or None; `cond` pre-resized to x's resolution, sharded like x; `t_emb`
+    replicated [B, emb].
+    """
+    for p in block_params:
+        x = sharded_cond_injection(p["cond_inj"], x, cond, axis_name, groups)
+        x = sharded_resnet_block(p["res_block"], x, t_emb, axis_name, groups)
+    if downsample_params is not None:
+        x = sharded_downsample(downsample_params, x, axis_name)
+    return x
+
+
 def _feather_window(tile: int, overlap: int) -> np.ndarray:
     """1-D blending weights: ramp up/down over the overlap region."""
     w = np.ones(tile, dtype=np.float32)

@@ -73,3 +73,52 @@ def test_tiled_sample_blending():
     out = tiled_sample(sample_fn, jax.random.PRNGKey(0), pan, lms, wav,
                        tile=64, overlap=32, tile_batch=4)
     np.testing.assert_allclose(out, lms, atol=1e-5)
+
+
+def test_sharded_encoder_stage_matches_unsharded():
+    """Stage-level H-sharding (VERDICT item 8): a full encoder stage
+    (CSM + ResnetBlock x2 + Downsample) run as 8 H-slabs under shard_map
+    with halo exchange + global-GN psums matches the unsharded modules."""
+    import jax
+    import jax.numpy as jnp
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from difpan_tpu.models.sr3_dwt import ResnetBlocWithAttn
+    from difpan_tpu.models.common import Downsample
+    from difpan_tpu.parallel import make_mesh
+    from difpan_tpu.parallel.spatial import sharded_encoder_stage
+
+    B, H, W, C = 2, 64, 32, 8   # H=64 over 8 devices -> 8-row slabs
+    cond_dim, dim_out, emb = 5, 16, 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, C))
+    cond = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, cond_dim))
+    t_emb = jax.random.normal(jax.random.PRNGKey(2), (B, emb))
+
+    blocks = [ResnetBlocWithAttn(dim_out=dim_out, cond_dim=cond_dim,
+                                 norm_groups=1, dropout=0.0, with_attn=False,
+                                 encoder=True) for _ in range(2)]
+    bparams = []
+    h_in = x
+    for i, bm in enumerate(blocks):
+        p = bm.init({"params": jax.random.PRNGKey(3 + i)}, h_in, t_emb,
+                    cond, train=False)["params"]
+        bparams.append(p)
+        h_in = bm.apply({"params": p}, h_in, t_emb, cond, train=False)
+    down = Downsample(dim_out)
+    dparams = down.init(jax.random.PRNGKey(9), h_in)["params"]
+    ref = down.apply({"params": dparams}, h_in)
+
+    mesh = make_mesh(8)
+    spec = P(None, "data", None, None)
+    fn = shard_map(
+        lambda bp, dp, xx, te, cc: sharded_encoder_stage(
+            bp, dp, xx, te, cc, axis_name="data", groups=1),
+        mesh=mesh, in_specs=(P(), P(), spec, P(), spec), out_specs=spec)
+    out = jax.jit(fn)(bparams, dparams, x, t_emb, cond)
+    assert out.shape == (B, H // 2, W // 2, dim_out)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -24,7 +24,7 @@ TARGET_MULTIPLier = 10.0
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=16)  # best of {4,16,32} sweep
+    p.add_argument("--batch", type=int, default=24)  # best of {4,16,24,32}
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--iters", type=int, default=3)

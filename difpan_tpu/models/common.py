@@ -79,6 +79,77 @@ class Dense(nn.Module):
             name="dense")(x)
 
 
+class _ConvParamsInner(nn.Module):
+    """Declares conv kernel/bias params under the standard `conv` child so
+    the param-tree layout stays identical to `Conv` (checkpoint converters
+    keep working) while the caller applies the conv manually — used to fuse
+    adjacent convs by composing their kernels at trace time."""
+    features: int
+    kernel_size: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        fan_in = (self.kernel_size ** 2) * in_ch
+        kernel = self.param(
+            "kernel", torch_kernel_init,
+            (self.kernel_size, self.kernel_size, in_ch, self.features))
+        bias = (self.param("bias", torch_bias_init(fan_in), (self.features,))
+                if self.use_bias else None)
+        return kernel, bias
+
+
+class ConvParams(nn.Module):
+    """Param-only stand-in for `Conv`: same tree layout (`<name>/conv/...`),
+    returns (kernel, bias) instead of applying."""
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        return _ConvParamsInner(self.features, self.kernel_size,
+                                self.use_bias, name="conv")(in_ch)
+
+
+class _DenseParamsInner(nn.Module):
+    features: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param("kernel", torch_kernel_init,
+                            (in_dim, self.features))
+        bias = (self.param("bias", torch_bias_init(in_dim), (self.features,))
+                if self.use_bias else None)
+        return kernel, bias
+
+
+class DenseParams(nn.Module):
+    """Param-only stand-in for `Dense`: same tree layout
+    (`<name>/dense/...`), returns (kernel, bias)."""
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        return _DenseParamsInner(self.features, self.use_bias,
+                                 name="dense")(in_dim)
+
+
+def apply_conv(x, kernel, bias=None, stride: int = 1):
+    """Apply an NHWC conv from raw (kh, kw, in, out) weights with the same
+    explicit torch-style padding as `Conv`."""
+    pad = (kernel.shape[0] - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (stride, stride),
+        ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
 def swish(x):
     return x * jax.nn.sigmoid(x)
 
@@ -127,14 +198,29 @@ class NoiseLevelMLP(nn.Module):
 
 class FeatureWiseAffine(nn.Module):
     """Add (or FiLM) the time embedding into a feature map
-    (`models/sr3_dwt.py:241-258`)."""
+    (`models/sr3_dwt.py:241-258`).
+
+    `params_only=True` returns the projection's (kernel, bias) so the parent
+    UNet can batch every block's time projection into ONE matmul per step
+    (the embeddings are identical across blocks); `cached=` consumes the
+    parent's precomputed (b, out) slice. Param-tree layout is unchanged.
+    """
     out_channels: int
     use_affine_level: bool = False
 
     @nn.compact
-    def __call__(self, x, noise_embed):
+    def __call__(self, x, noise_embed, *, params_only: bool = False,
+                 cached=None):
         mult = 2 if self.use_affine_level else 1
-        h = Dense(self.out_channels * mult, name="noise_func")(noise_embed)
+        k, b = DenseParams(self.out_channels * mult, name="noise_func")(
+            noise_embed.shape[-1])
+        if params_only:
+            return k, b
+        if cached is not None:
+            h = cached
+        else:
+            h = noise_embed @ k.astype(noise_embed.dtype) \
+                + b.astype(noise_embed.dtype)
         h = h[:, None, None, :]
         if self.use_affine_level:
             gamma, beta = jnp.split(h, 2, axis=-1)
@@ -191,11 +277,15 @@ class ResnetBlock(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, time_emb, *, train: bool = False):
+    def __call__(self, x, time_emb, *, train: bool = False,
+                 time_only: bool = False, time_cached=None):
+        fwa = FeatureWiseAffine(self.dim_out, self.use_affine_level,
+                                name="noise_func")
+        if time_only:
+            return fwa(None, time_emb, params_only=True)
         h = Block(self.dim_out, groups=self.norm_groups,
                   use_pallas=self.use_pallas, name="block1")(x, train=train)
-        h = FeatureWiseAffine(self.dim_out, self.use_affine_level,
-                              name="noise_func")(h, time_emb)
+        h = fwa(h, time_emb, cached=time_cached)
         h = Block(self.dim_out, groups=self.norm_groups,
                   dropout=self.dropout, use_pallas=self.use_pallas,
                   name="block2")(h, train=train)
@@ -213,6 +303,11 @@ class SelfAttention(nn.Module):
     """
     n_head: int = 1
     norm_groups: int = 32
+    # token count above which queries are processed in chunks: the full
+    # (HW x HW) score matrix at e.g. 64x64 feature maps (512px inputs) is
+    # GBs of HBM; chunking keeps peak memory O(HW * chunk) with numerics
+    # identical to the one-shot softmax (each row is still complete)
+    chunk_tokens: int = 2048
 
     @nn.compact
     def __call__(self, x):
@@ -223,10 +318,24 @@ class SelfAttention(nn.Module):
         qkv = Conv(c * 3, 1, use_bias=False, name="qkv")(norm)
         qkv = qkv.reshape(b, h * w, self.n_head, 3 * head_dim)
         q, k, v = jnp.split(qkv, 3, axis=-1)  # (b, hw, n_head, head_dim)
-        attn = jnp.einsum("bqnd,bknd->bnqk", q, k) / math.sqrt(c)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bnqk,bknd->bqnd", attn, v)
-        out = out.reshape(b, h, w, c)
+        tokens = h * w
+        if tokens > self.chunk_tokens and tokens % self.chunk_tokens == 0:
+            n_ch = tokens // self.chunk_tokens
+            qs = q.reshape(b, n_ch, self.chunk_tokens, self.n_head,
+                           head_dim).transpose(1, 0, 2, 3, 4)
+
+            def chunk(_, qi):
+                a = jnp.einsum("bqnd,bknd->bnqk", qi, k) / math.sqrt(c)
+                a = jax.nn.softmax(a, axis=-1)
+                return None, jnp.einsum("bnqk,bknd->bqnd", a, v)
+
+            _, outs = jax.lax.scan(chunk, None, qs)
+            out = outs.transpose(1, 0, 2, 3, 4).reshape(b, h, w, c)
+        else:
+            attn = jnp.einsum("bqnd,bknd->bnqk", q, k) / math.sqrt(c)
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bnqk,bknd->bqnd", attn, v)
+            out = out.reshape(b, h, w, c)
         out = Conv(c, 1, name="out")(out)
         return out + x
 

@@ -28,8 +28,9 @@ from einops import rearrange
 from flax import linen as nn
 
 from .common import (
-    Block, Conv, Downsample, DropPath, NoiseLevelMLP, ResnetBlock,
-    SelfAttention, Upsample, base2fourier_features, resize_bilinear,
+    Block, Conv, ConvParams, Downsample, DropPath, NoiseLevelMLP,
+    ResnetBlock, SelfAttention, Upsample, apply_conv, base2fourier_features,
+    resize_bilinear,
 )
 
 
@@ -140,8 +141,14 @@ class FastAttnCondInjection(nn.Module):
         ffn = Conv(self.dim_out * 2, 3, use_bias=False, name="ffn_conv1")(
             attn_out)
         ffn = nn.silu(ffn)
-        ffn = Conv(self.dim_out, 3, use_bias=False, name="ffn_conv2")(ffn)
-        ffn = Conv(self.dim_out, 1, name="ffn_conv3")(ffn)
+        # ffn_conv2 (3x3, no bias) and ffn_conv3 (1x1) have no nonlinearity
+        # between them, so compose their kernels at trace time and run ONE
+        # conv — identical math, one fewer dispatched op per decoder block.
+        k2, _ = ConvParams(self.dim_out, 3, use_bias=False,
+                           name="ffn_conv2")(ffn.shape[-1])
+        k3, b3 = ConvParams(self.dim_out, 1, name="ffn_conv3")(self.dim_out)
+        kc = jnp.einsum("hwim,mo->hwio", k2, k3[0, 0])
+        ffn = apply_conv(ffn, kc, b3)
         ffn = DropPath(self.drop_path_prob, name="ffn_drop_path")(
             ffn, train=train)
         return ffn + attn_out
@@ -305,12 +312,22 @@ class ResnetBlocWithAttn(nn.Module):
     @nn.compact
     def __call__(self, x, time_emb, cond=None, *, train: bool = False,
                  cond_cached=None, cond_only: bool = False,
-                 x_channels: Optional[int] = None):
+                 x_channels: Optional[int] = None,
+                 time_only: bool = False, time_cached=None):
         """`cond_only=True`: compute and return only this block's
         loop-invariant cond features ((scale, shift) for CSM, the context
         matrix for FWM); `x` may be None, FWM needs `x_channels` (the entry
         channel count) to size its kv projection. `cond_cached=` consumes a
-        previously returned entry, skipping the cond branch."""
+        previously returned entry, skipping the cond branch.
+
+        `time_only=True` returns the inner ResnetBlock's time-projection
+        (kernel, bias) so the UNet can batch all blocks' projections into one
+        matmul; `time_cached=` consumes the precomputed slice."""
+        if time_only:
+            return ResnetBlock(self.dim_out, dropout=self.dropout,
+                               norm_groups=self.norm_groups,
+                               use_pallas=self.use_pallas, name="res_block")(
+                None, time_emb, time_only=True)
         if self.cond_dim is not None:
             # resize only if the caller didn't pre-resize (the UNet hoists
             # one resize per resolution out of the 52 per-block resizes the
@@ -341,7 +358,7 @@ class ResnetBlocWithAttn(nn.Module):
         x = ResnetBlock(self.dim_out, dropout=self.dropout,
                         norm_groups=self.norm_groups,
                         use_pallas=self.use_pallas, name="res_block")(
-            x, time_emb, train=train)
+            x, time_emb, train=train, time_cached=time_cached)
         if self.with_attn:
             x = SelfAttention(n_head=8, norm_groups=self.norm_groups,
                               name="attn")(x)
@@ -395,7 +412,6 @@ class UNetSR3DWT(nn.Module):
         cond_dec = cond[..., -dec_cond_dim:] if cond is not None else None
 
         num_mults = len(self.channel_mults)
-        now_res = self.image_size
 
         # hoisted cond pyramid: one bilinear resize per UNet resolution
         # instead of one per block (reference: `models/sr3_dwt.py:661-663`)
@@ -411,56 +427,84 @@ class UNetSR3DWT(nn.Module):
                     else resize_bilinear(cond_dec, hl, wl),
                 )
 
-        def enc_block(ind, blk, channel_mult, use_attn):
-            return ResnetBlocWithAttn(
-                dim_out=channel_mult, cond_dim=enc_cond_dim,
-                norm_groups=self.norm_groups, dropout=self.dropout,
-                with_attn=use_attn, encoder=True,
-                use_pallas=self.use_pallas, name=f"down_{ind}_{blk}")
+        # ---- static stage walk (resolutions, skip channels) -------------
+        # enc_specs: (ind, blk, channel_mult, use_attn)
+        # dec_specs: (ind, blk, channel_mult, use_attn, in_channels)
+        enc_specs, dec_specs = [], []
+        now_res = self.image_size
+        feat_channels_sim = [self.inner_channel]
+        pre_channel = self.inner_channel
+        for ind in range(num_mults):
+            is_last = ind == num_mults - 1
+            use_attn = now_res in self.attn_res
+            channel_mult = self.inner_channel * self.channel_mults[ind]
+            for blk in range(self.res_blocks):
+                enc_specs.append((ind, blk, channel_mult, use_attn))
+                feat_channels_sim.append(channel_mult)
+                pre_channel = channel_mult
+            if not is_last:
+                feat_channels_sim.append(pre_channel)
+                now_res //= 2
+        mid_channel = pre_channel
+        fc = list(feat_channels_sim)
+        cur = pre_channel
+        for ind in reversed(range(num_mults)):
+            is_last = ind < 1
+            use_attn = now_res in self.attn_res
+            channel_mult = self.inner_channel * self.channel_mults[ind]
+            for blk in range(self.res_blocks + 1):
+                dec_specs.append(
+                    (ind, blk, channel_mult, use_attn, cur + fc.pop()))
+                cur = channel_mult
+            if not is_last:
+                now_res *= 2
 
-        def dec_block(ind, blk, channel_mult, use_attn):
-            return ResnetBlocWithAttn(
-                dim_out=channel_mult, cond_dim=dec_cond_dim,
+        # one module instance per block, shared by the cond_only / batched-
+        # time / forward passes (flax module sharing keeps one param scope)
+        enc_mods = {
+            (ind, blk): ResnetBlocWithAttn(
+                dim_out=cm, cond_dim=enc_cond_dim,
                 norm_groups=self.norm_groups, dropout=self.dropout,
-                with_attn=use_attn, encoder=False,
-                use_pallas=self.use_pallas, name=f"up_{ind}_{blk}")
+                with_attn=ua, encoder=True, use_pallas=self.use_pallas,
+                name=f"down_{ind}_{blk}")
+            for (ind, blk, cm, ua) in enc_specs}
+        dec_mods = {
+            (ind, blk): ResnetBlocWithAttn(
+                dim_out=cm, cond_dim=dec_cond_dim,
+                norm_groups=self.norm_groups, dropout=self.dropout,
+                with_attn=ua, encoder=False, use_pallas=self.use_pallas,
+                name=f"up_{ind}_{blk}")
+            for (ind, blk, cm, ua, _) in dec_specs}
+        mid0 = ResnetBlocWithAttn(
+            dim_out=mid_channel, norm_groups=self.norm_groups,
+            dropout=self.dropout, with_attn=True,
+            use_pallas=self.use_pallas, name="mid_0")
+        mid1 = ResnetBlocWithAttn(
+            dim_out=mid_channel, norm_groups=self.norm_groups,
+            dropout=self.dropout, with_attn=False,
+            use_pallas=self.use_pallas, name="mid_1")
 
         if cond_only:
             assert cond is not None
             h0 = cond.shape[1]
             cache = {"enc": [], "dec": []}
-            feat_channels = [self.inner_channel]
-            pre_channel = self.inner_channel
             div = 1
-            for ind in range(num_mults):
-                is_last = ind == num_mults - 1
-                channel_mult = self.inner_channel * self.channel_mults[ind]
-                for blk in range(self.res_blocks):
-                    cache["enc"].append(
-                        enc_block(ind, blk, channel_mult, False)(
-                            None, None, cond_pyr[h0 // div][0],
-                            cond_only=True))
-                    feat_channels.append(channel_mult)
-                    pre_channel = channel_mult
-                if not is_last:
-                    feat_channels.append(pre_channel)
+            for (ind, blk, cm, _ua) in enc_specs:
+                cache["enc"].append(enc_mods[(ind, blk)](
+                    None, None, cond_pyr[h0 // div][0], cond_only=True))
+                if blk == self.res_blocks - 1 and ind != num_mults - 1:
                     div *= 2
-            cur = pre_channel
-            for ind in reversed(range(num_mults)):
-                is_last = ind < 1
-                channel_mult = self.inner_channel * self.channel_mults[ind]
-                for blk in range(self.res_blocks + 1):
-                    skip_ch = feat_channels.pop()
-                    cache["dec"].append(
-                        dec_block(ind, blk, channel_mult, False)(
-                            None, None, cond_pyr[h0 // div][1],
-                            cond_only=True, x_channels=cur + skip_ch))
-                    cur = channel_mult
-                if not is_last:
+            for (ind, blk, cm, _ua, in_ch) in dec_specs:
+                cache["dec"].append(dec_mods[(ind, blk)](
+                    None, None, cond_pyr[h0 // div][1], cond_only=True,
+                    x_channels=in_ch))
+                if blk == self.res_blocks and ind != 0:
                     div //= 2
             return cache
 
-        if self.self_condition:
+        fold_self = (self.self_condition and self_cond is None
+                     and not self.fourier_features)
+        if self.self_condition and not fold_self:
             if self_cond is None:
                 self_cond = x
             x = jnp.concatenate([self_cond, x], axis=-1)
@@ -473,63 +517,79 @@ class UNetSR3DWT(nn.Module):
         t = (NoiseLevelMLP(self.inner_channel, name="noise_level_mlp")(time)
              if self.with_noise_level_emb else None)
 
+        # ---- batched time projections -----------------------------------
+        # every ResnetBlock projects the SAME t embedding through its own
+        # small dense; concatenate all kernels and run ONE matmul per step
+        # (~30 dispatched ops -> 1), then hand each block its slice.
+        time_slices = {"enc": iter(()), "mid": iter(()), "dec": iter(())}
+        if t is not None:
+            kbs, labels = [], []
+            for (ind, blk, _cm, _ua) in enc_specs:
+                kbs.append(enc_mods[(ind, blk)](None, t, time_only=True))
+                labels.append("enc")
+            for mod in (mid0, mid1):
+                kbs.append(mod(None, t, time_only=True))
+                labels.append("mid")
+            for (ind, blk, _cm, _ua, _ic) in dec_specs:
+                kbs.append(dec_mods[(ind, blk)](None, t, time_only=True))
+                labels.append("dec")
+            kmat = jnp.concatenate([k for k, _ in kbs], axis=1)
+            bvec = jnp.concatenate([b for _, b in kbs], axis=0)
+            proj = t @ kmat.astype(t.dtype) + bvec.astype(t.dtype)
+            grouped = {"enc": [], "mid": [], "dec": []}
+            off = 0
+            for (k, _), lab in zip(kbs, labels):
+                grouped[lab].append(proj[:, off:off + k.shape[1]])
+                off += k.shape[1]
+            time_slices = {g: iter(v) for g, v in grouped.items()}
+
+        # --- encoder ---------------------------------------------------
+        # self_cond defaults to x itself (`models/sr3_dwt.py:171-174`), so
+        # when no estimate is provided conv(concat([x, x])) == conv with the
+        # kernel input-halves summed — skips the concat and halves the head
+        # conv's FLOPs (bit-identical up to float reassociation)
+        head_in = x.shape[-1] * (2 if fold_self else 1)
+        kh, bh = ConvParams(self.inner_channel, 3, name="head_conv")(head_in)
+        if fold_self:
+            kh = kh[:, :, :x.shape[-1]] + kh[:, :, x.shape[-1]:]
+        x = apply_conv(x, kh, bh)
+
         enc_cache = (iter(cond_cache["enc"]) if cond_cache is not None
                      else None)
         dec_cache = (iter(cond_cache["dec"]) if cond_cache is not None
                      else None)
 
-        # --- encoder ---------------------------------------------------
-        x = Conv(self.inner_channel, 3, name="head_conv")(x)
         feats = [x]
-        feat_channels = [self.inner_channel]
-        pre_channel = self.inner_channel
-        for ind in range(num_mults):
-            is_last = ind == num_mults - 1
-            use_attn = now_res in self.attn_res
-            channel_mult = self.inner_channel * self.channel_mults[ind]
-            for blk in range(self.res_blocks):
-                x = enc_block(ind, blk, channel_mult, use_attn)(
-                    x, t, cond_pyr[x.shape[1]][0] if cond is not None
-                    else None, train=train,
-                    cond_cached=(next(enc_cache) if enc_cache is not None
-                                 else None))
+        for (ind, blk, channel_mult, _ua) in enc_specs:
+            x = enc_mods[(ind, blk)](
+                x, t, cond_pyr[x.shape[1]][0] if cond is not None else None,
+                train=train,
+                cond_cached=(next(enc_cache) if enc_cache is not None
+                             else None),
+                time_cached=next(time_slices["enc"], None))
+            feats.append(x)
+            if blk == self.res_blocks - 1 and ind != num_mults - 1:
+                x = Downsample(channel_mult, name=f"downsample_{ind}")(x)
                 feats.append(x)
-                feat_channels.append(channel_mult)
-                pre_channel = channel_mult
-            if not is_last:
-                x = Downsample(pre_channel, name=f"downsample_{ind}")(x)
-                feats.append(x)
-                feat_channels.append(pre_channel)
-                now_res //= 2
 
         # --- middle -----------------------------------------------------
-        x = ResnetBlocWithAttn(
-            dim_out=pre_channel, norm_groups=self.norm_groups,
-            dropout=self.dropout, with_attn=True,
-            use_pallas=self.use_pallas, name="mid_0")(
-            x, t, train=train)
-        x = ResnetBlocWithAttn(
-            dim_out=pre_channel, norm_groups=self.norm_groups,
-            dropout=self.dropout, with_attn=False,
-            use_pallas=self.use_pallas, name="mid_1")(
-            x, t, train=train)
+        x = mid0(x, t, train=train,
+                 time_cached=next(time_slices["mid"], None))
+        x = mid1(x, t, train=train,
+                 time_cached=next(time_slices["mid"], None))
 
         # --- decoder ----------------------------------------------------
-        for ind in reversed(range(num_mults)):
-            is_last = ind < 1
-            use_attn = now_res in self.attn_res
-            channel_mult = self.inner_channel * self.channel_mults[ind]
-            for blk in range(self.res_blocks + 1):
-                skip = feats.pop()
-                x = dec_block(ind, blk, channel_mult, use_attn)(
-                    jnp.concatenate([x, skip], axis=-1), t,
-                    cond_pyr[x.shape[1]][1] if cond is not None else None,
-                    train=train,
-                    cond_cached=(next(dec_cache) if dec_cache is not None
-                                 else None))
-            if not is_last:
+        for (ind, blk, channel_mult, _ua, _ic) in dec_specs:
+            skip = feats.pop()
+            x = dec_mods[(ind, blk)](
+                jnp.concatenate([x, skip], axis=-1), t,
+                cond_pyr[x.shape[1]][1] if cond is not None else None,
+                train=train,
+                cond_cached=(next(dec_cache) if dec_cache is not None
+                             else None),
+                time_cached=next(time_slices["dec"], None))
+            if blk == self.res_blocks and ind != 0:
                 x = Upsample(channel_mult, name=f"upsample_{ind}")(x)
-                now_res *= 2
 
         return Block(self.out_channel, groups=self.norm_groups,
                      use_pallas=self.use_pallas,

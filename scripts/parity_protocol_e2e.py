@@ -113,6 +113,67 @@ def _install_timm_stub():
     sys.modules.update({"timm": timm, "timm.models": tm,
                         "timm.models.layers": tl})
 
+    # torchvision isn't installed either; the reference dataset only
+    # CONSTRUCTS transforms (aug_prob=0 keeps them unused at eval), so bare
+    # constructor shims suffice
+    tv = types.ModuleType("torchvision")
+    tvt = types.ModuleType("torchvision.transforms")
+
+    class _Noop:
+        def __init__(self, *a, **kw):
+            pass
+
+        def __call__(self, *a):
+            return a if len(a) > 1 else a[0]
+
+    for name in ("Compose", "RandomHorizontalFlip", "RandomVerticalFlip",
+                 "RandomChoice", "Lambda", "RandomApply", "RandomErasing"):
+        setattr(tvt, name, _Noop)
+    tv.transforms = tvt
+    sys.modules.update({"torchvision": tv, "torchvision.transforms": tvt})
+
+    # pywt isn't installed; our ops/wavelet.py haar_dwt2 is an exact
+    # pywt.wavedec2(..., 'db1', level=1) equivalent (golden-tested), so the
+    # stub delegates to it
+    from difpan_tpu.ops.wavelet import haar_dwt2
+
+    pywt = types.ModuleType("pywt")
+
+    def wavedec2(data, wavelet, level=1, axes=(-2, -1)):
+        assert wavelet == "db1" and level == 1
+        assert tuple(axes) in ((-2, -1), (2, 3))
+        ll, (h, v, d) = haar_dwt2(np.asarray(data))
+        return [ll, (h, v, d)]
+
+    pywt.wavedec2 = wavedec2
+    sys.modules["pywt"] = pywt
+
+    # skimage isn't installed; our metrics/pan_acc.py carries verified
+    # skimage-equivalents (same float-input defaults: data_range=2.0,
+    # uniform 7x7 window, border crop)
+    from difpan_tpu.metrics.pan_acc import psnr_conventional, ssim_skimage
+
+    sk = types.ModuleType("skimage")
+    skm = types.ModuleType("skimage.metrics")
+
+    def peak_signal_noise_ratio(image_true, image_test, data_range=None):
+        # skimage float-dtype default: range (-1, 1) => data_range 2
+        return psnr_conventional(np.asarray(image_true),
+                                 np.asarray(image_test),
+                                 data_range=data_range or 2.0)
+
+    def structural_similarity(im1, im2, win_size=7, data_range=None,
+                              channel_axis=None, **kw):
+        return ssim_skimage(np.asarray(im1), np.asarray(im2),
+                            win_size=win_size,
+                            data_range=data_range or 2.0,
+                            channel_axis=channel_axis)
+
+    skm.peak_signal_noise_ratio = peak_signal_noise_ratio
+    skm.structural_similarity = structural_similarity
+    sk.metrics = skm
+    sys.modules.update({"skimage": sk, "skimage.metrics": skm})
+
 
 def torch_protocol(test_h5, ema_params, init_noise_nchw=None, seed=0):
     """The reference test_fn flow on CPU with the reverse-converted weights.
@@ -227,9 +288,24 @@ def ours_protocol(test_h5, ema_params, model, init_noise_nhwc=None, seed=0):
 
 
 def main():
+    import pickle
     train_h5, test_h5 = make_data()
-    log("training difpan_tpu ...")
-    ema_params, model = train_ours(train_h5)
+    cache = os.environ.get("PARITY_E2E_CACHE", "/tmp/parity_e2e_params.pkl")
+    if cache and os.path.exists(cache):
+        log(f"loading trained EMA params from {cache} ...")
+        with open(cache, "rb") as f:
+            ema_params = pickle.load(f)
+        from difpan_tpu.train import TrainConfig
+        from difpan_tpu.train.engine import build_model
+        model = build_model(TrainConfig(
+            dataset_name="wv3", image_n_channel=CHANNELS, pan_channel=1,
+            image_size=SIZE, n_steps=TRAIN_T, batch_size=BATCH))
+    else:
+        log("training difpan_tpu ...")
+        ema_params, model = train_ours(train_h5)
+        if cache:
+            with open(cache, "wb") as f:
+                pickle.dump(jax.device_get(ema_params), f)
 
     xt = np.random.default_rng(99).standard_normal(
         (N_TEST, CHANNELS, SIZE, SIZE)).astype(np.float32)

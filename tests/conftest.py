@@ -16,6 +16,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# persistent XLA compilation cache: the suite is compile-bound (dozens of
+# small UNet train/sample programs), so caching compilations across runs
+# cuts wall-clock several-fold after the first run
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 
 def pytest_sessionstart(session):
     assert jax.default_backend() == "cpu", "tests must run on CPU"

@@ -112,7 +112,11 @@ def test_unet_google_capture_fms():
 
 
 def test_self_cond_none_equals_x():
-    """default(self_cond, x) semantics: passing None must equal passing x."""
+    """default(self_cond, x) semantics: passing None must equal passing x.
+
+    None takes the folded head-conv path (kernel input-halves summed instead
+    of concat([x, x])) — identical math up to float reassociation, so the
+    comparison is allclose at float tolerance rather than bit-equal."""
     net = UNetSR3DWT(
         in_channel=4, out_channel=4, lms_channel=4, pan_channel=1,
         inner_channel=8, norm_groups=1, channel_mults=(1, 2), attn_res=(8,),
@@ -124,7 +128,8 @@ def test_self_cond_none_equals_x():
                       train=False)["params"]
     y_none = net.apply({"params": params}, x, t, cond, None, train=False)
     y_x = net.apply({"params": params}, x, t, cond, x, train=False)
-    np.testing.assert_array_equal(np.asarray(y_none), np.asarray(y_x))
+    np.testing.assert_allclose(np.asarray(y_none), np.asarray(y_x),
+                               atol=2e-6, rtol=2e-5)
 
 
 def test_cond_injection_variants():

@@ -81,6 +81,27 @@ def _add_bench(sub):
     return p
 
 
+def _add_serve(sub):
+    p = sub.add_parser(
+        "serve", help="persistent sampling service (load once, serve HTTP)")
+    p.add_argument("--weights", required=True,
+                   help="orbax checkpoint dir (difpan) or .pth file "
+                        "(reference torch weights, auto-converted)")
+    p.add_argument("--dataset", default="wv3")
+    p.add_argument("--port", type=int, default=8500)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--n-steps", type=int, default=500,
+                   help="schedule length (cosine)")
+    p.add_argument("--section-counts", default="ddim25")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--use-ema", action="store_true", default=True)
+    p.add_argument("--inner-channel", type=int, default=32)
+    p.add_argument("--res-blocks", type=int, default=3)
+    p.add_argument("--channel-mults", default="1,2,2,4")
+    return p
+
+
 def cmd_train(args):
     import h5py
 
@@ -125,16 +146,15 @@ def cmd_train(args):
         train(d_train, d_valid, cfg, restore_state=restore_state)
 
 
-def cmd_test(args):
-    import h5py
+def _build_model_and_params(args, spec):
+    """Shared weight-loading for `test` / `serve`: build the model from the
+    CLI knobs and load either a difpan orbax checkpoint or a reference
+    torch .pth (auto-converted)."""
     import jax
     import jax.numpy as jnp
 
-    from .data import get_dataset_spec
     from .models import UNetSR3DWT
-    from .train.eval import evaluate
 
-    spec = get_dataset_spec(args.dataset)
     mults = tuple(int(m) for m in args.channel_mults.split(","))
     model = UNetSR3DWT(
         in_channel=spec.n_channels, out_channel=spec.n_channels,
@@ -160,6 +180,17 @@ def cmd_test(args):
             train=False)["params"]
         state = restore_checkpoint(args.weights, create_train_state(p0, tx))
         params = state.ema_params if args.use_ema else state.params
+    return model, params
+
+
+def cmd_test(args):
+    import h5py
+
+    from .data import get_dataset_spec
+    from .train.eval import evaluate
+
+    spec = get_dataset_spec(args.dataset)
+    model, params = _build_model_and_params(args, spec)
     mesh = None
     if args.n_shards > 1:
         from .parallel import make_mesh
@@ -175,6 +206,20 @@ def cmd_test(args):
     print(metrics)
 
 
+def cmd_serve(args):
+    from .data import get_dataset_spec
+    from .serve import SamplerService, serve
+
+    spec = get_dataset_spec(args.dataset)
+    model, params = _build_model_and_params(args, spec)
+    service = SamplerService(
+        params, args.dataset, model=model, n_steps=args.n_steps,
+        section_counts=args.section_counts, dtype=args.dtype)
+    print(f"serving {args.dataset} sampler on "
+          f"http://{args.host}:{args.port}  (POST /sample, GET /healthz)")
+    serve(service, port=args.port, host=args.host)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="difpan_tpu",
@@ -183,6 +228,7 @@ def main(argv=None):
     _add_train(sub)
     _add_test(sub)
     _add_bench(sub)
+    _add_serve(sub)
     if argv is None:
         import sys as _sys
         argv = _sys.argv[1:]
@@ -195,6 +241,8 @@ def main(argv=None):
         cmd_train(args)
     elif args.cmd == "test":
         cmd_test(args)
+    elif args.cmd == "serve":
+        cmd_serve(args)
     elif args.cmd == "bench":
         import os
         import runpy

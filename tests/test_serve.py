@@ -1,0 +1,93 @@
+"""Serving surface: SamplerService + HTTP round-trip.
+
+Covers the deployment path the reference lacks (CLI-batch only): params
+loaded once, per-shape compile cache, host-side wavelet computation,
+npz-over-HTTP protocol.
+"""
+import io
+import http.client
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difpan_tpu.models import UNetSR3DWT
+from difpan_tpu.serve import SamplerService, serve
+
+
+@pytest.fixture(scope="module")
+def service():
+    c, pc = 4, 1
+    model = UNetSR3DWT(
+        in_channel=c, out_channel=c, lms_channel=c, pan_channel=pc,
+        inner_channel=8, norm_groups=1, channel_mults=(1, 2), attn_res=(8,),
+        res_blocks=1, dropout=0.0, image_size=16, self_condition=True)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 16, 16, c)), jnp.array([0]),
+        jnp.zeros((1, 16, 16, 2 * c + 4 * pc)), train=False)["params"]
+    return SamplerService(params, "qb", model=model, n_steps=20,
+                          section_counts="ddim4")
+
+
+def _batch(n, size=16, c=4, seed=0):
+    rng = np.random.default_rng(seed)
+    pan = rng.uniform(0, 1, (n, size, size, 1)).astype(np.float32)
+    lms = rng.uniform(0, 1, (n, size, size, c)).astype(np.float32)
+    return pan, lms
+
+
+def test_sample_shapes_range_and_padding(service):
+    pan, lms = _batch(3)  # 3 pads to pool size 4; only 3 returned
+    sr = service.sample(pan, lms, seed=7)
+    assert sr.shape == (3, 16, 16, 4)
+    assert np.all(sr >= 0.0) and np.all(sr <= 1.0)
+    assert (4, 16, 16) in service.compiled_shapes()
+
+
+def test_sample_deterministic_and_compile_reuse(service):
+    pan, lms = _batch(2, seed=1)
+    a = service.sample(pan, lms, seed=3)
+    n0 = len(service.compiled_shapes())
+    b = service.sample(pan, lms, seed=3)
+    np.testing.assert_array_equal(a, b)
+    assert len(service.compiled_shapes()) == n0  # same shape, no recompile
+
+
+def test_explicit_wavelets_match_host_computed(service):
+    pan, lms = _batch(2, seed=2)
+    wav = service._wavelets_host(pan, lms)
+    a = service.sample(pan, lms, seed=5)
+    b = service.sample(pan, lms, wavelets=wav, seed=5)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_http_round_trip(service):
+    httpd = serve(service, port=0, block=False)
+    port = httpd.server_address[1]
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        health = json.loads(r.read())
+        assert r.status == 200 and health["status"] == "ok"
+
+        pan, lms = _batch(2, seed=4)
+        buf = io.BytesIO()
+        np.savez_compressed(buf, pan=pan, lms=lms)
+        conn.request("POST", "/sample", body=buf.getvalue(),
+                     headers={"X-Seed": "11"})
+        r = conn.getresponse()
+        assert r.status == 200, r.read()
+        sr = np.load(io.BytesIO(r.read()))["sr"]
+        np.testing.assert_array_equal(sr, service.sample(pan, lms, seed=11))
+
+        # malformed request surfaces a 400, not a dead server
+        conn.request("POST", "/sample", body=b"not-an-npz")
+        r = conn.getresponse()
+        assert r.status == 400
+        assert "error" in json.loads(r.read())
+    finally:
+        httpd.shutdown()

@@ -303,11 +303,13 @@ class SelfAttention(nn.Module):
     """
     n_head: int = 1
     norm_groups: int = 32
-    # token count above which queries are processed in chunks: the full
-    # (HW x HW) score matrix at e.g. 64x64 feature maps (512px inputs) is
-    # GBs of HBM; chunking keeps peak memory O(HW * chunk) with numerics
-    # identical to the one-shot softmax (each row is still complete)
-    chunk_tokens: int = 2048
+    # token count above which the full (HW x HW) score matrix (GBs of HBM at
+    # 64x64 feature maps / 512px inputs) is avoided: on TPU a Pallas kernel
+    # keeps each query block's score rows VMEM-resident (~20% of the whole
+    # UNet forward saved at 512px, see PERF.md); elsewhere a lax.scan over
+    # query chunks bounds peak memory at O(HW * chunk). Both keep softmax
+    # rows complete.
+    chunk_tokens: int = 512
 
     @nn.compact
     def __call__(self, x):
@@ -319,7 +321,12 @@ class SelfAttention(nn.Module):
         qkv = qkv.reshape(b, h * w, self.n_head, 3 * head_dim)
         q, k, v = jnp.split(qkv, 3, axis=-1)  # (b, hw, n_head, head_dim)
         tokens = h * w
-        if tokens > self.chunk_tokens and tokens % self.chunk_tokens == 0:
+        if (tokens > self.chunk_tokens and tokens % 256 == 0
+                and jax.default_backend() in ("tpu", "axon")):
+            from ..ops.pallas import flash_attention
+            out = flash_attention(q, k, v, 1.0 / math.sqrt(c))
+            out = out.reshape(b, h, w, c)
+        elif tokens > self.chunk_tokens and tokens % self.chunk_tokens == 0:
             n_ch = tokens // self.chunk_tokens
             qs = q.reshape(b, n_ch, self.chunk_tokens, self.n_head,
                            head_dim).transpose(1, 0, 2, 3, 4)

@@ -79,3 +79,36 @@ def test_unet_pallas_path_matches_xla():
     y_pl = net_pl.apply({"params": params}, x, t, cond, train=False)
     np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref),
                                atol=5e-5)
+
+
+def test_flash_attention_matches_full_softmax():
+    """VMEM-resident attention kernel (interpret mode off-TPU) vs the plain
+    full-score softmax at a large token count."""
+    from difpan_tpu.ops.pallas import flash_attention
+
+    b, n, h, d = 2, 512, 4, 8
+    c = h * d
+    key = jax.random.PRNGKey(0)
+    q, k, v = (jax.random.normal(kk, (b, n, h, d))
+               for kk in jax.random.split(key, 3))
+    scale = 1.0 / np.sqrt(c)
+    ref_s = jnp.einsum("bqnd,bknd->bnqk", q, k) * scale
+    ref = jnp.einsum("bnqk,bknd->bqnd", jax.nn.softmax(ref_s, axis=-1), v)
+    out = flash_attention(q, k, v, scale, block_q=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_self_attention_chunked_matches_full():
+    """SelfAttention's large-token scan path == the one-shot softmax path
+    (same params, chunk threshold forced low)."""
+    from difpan_tpu.models.common import SelfAttention
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 16))
+    full = SelfAttention(n_head=8, norm_groups=1, chunk_tokens=4096)
+    chunked = SelfAttention(n_head=8, norm_groups=1, chunk_tokens=256)
+    params = full.init({"params": jax.random.PRNGKey(2)}, x)["params"]
+    y_full = full.apply({"params": params}, x)
+    y_chunk = chunked.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(y_chunk), np.asarray(y_full),
+                               atol=2e-5, rtol=2e-5)

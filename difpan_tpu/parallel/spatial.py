@@ -48,7 +48,8 @@ def halo_exchange_h(x: jnp.ndarray, axis_name: str,
 
 def sharded_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray, axis_name: str,
                     bias: Optional[jnp.ndarray] = None,
-                    stride: int = 1) -> jnp.ndarray:
+                    stride: int = 1,
+                    feature_group_count: int = 1) -> jnp.ndarray:
     """3x3 conv on an H-sharded NHWC slab: halo exchange + valid-H conv.
 
     Matches a global conv with padding=1: W is padded locally, H padding
@@ -59,7 +60,17 @@ def sharded_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray, axis_name: str,
         xh, kernel, window_strides=(stride, stride),
         padding=((0, 0), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=feature_group_count,
     ) + (bias if bias is not None else 0.0)
+
+
+def sharded_softmax_h(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Softmax along the GLOBAL H axis (axis 1) of an H-sharded slab:
+    cross-shard max (`pmax`) and normalizer (`psum`), local exp."""
+    m = jax.lax.pmax(jnp.max(x, axis=1, keepdims=True), axis_name)
+    e = jnp.exp(x - m)
+    s = jax.lax.psum(jnp.sum(e, axis=1, keepdims=True), axis_name)
+    return e / s
 
 
 def sharded_groupnorm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,

@@ -122,3 +122,35 @@ def test_sharded_encoder_stage_matches_unsharded():
     assert out.shape == (B, H // 2, W // 2, dim_out)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_full_unet_h_sharded_matches_unsharded():
+    """The COMPLETE UNetSR3-DWT eval forward on H-sharded slabs under
+    shard_map (halo convs, psum GN, cross-shard FWM softmax/context,
+    gathered mid attention) == the unsharded model.apply, same params."""
+    from difpan_tpu.models import UNetSR3DWT
+    from difpan_tpu.parallel import make_mesh
+    from difpan_tpu.parallel.sharded_unet import make_sharded_unet_forward
+
+    c, pc = 4, 1
+    model = UNetSR3DWT(
+        in_channel=c, out_channel=c, lms_channel=c, pan_channel=pc,
+        inner_channel=8, norm_groups=1, channel_mults=(1, 2, 2, 4),
+        attn_res=(8,), res_blocks=2, dropout=0.0, image_size=64,
+        self_condition=True)
+
+    B, H, W = 2, 64, 32
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, c))
+    cond = jax.random.normal(jax.random.PRNGKey(1),
+                             (B, H, W, 2 * c + 4 * pc))
+    t = jnp.array([7, 410])
+    params = model.init({"params": jax.random.PRNGKey(2)}, x, t, cond,
+                        train=False)["params"]
+    ref = model.apply({"params": params}, x, t, cond, None, train=False)
+
+    mesh = make_mesh(8)
+    fn = make_sharded_unet_forward(model, mesh)
+    out = fn(params, x, t, cond)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)

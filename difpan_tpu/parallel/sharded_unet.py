@@ -150,12 +150,17 @@ def _upsample_nearest2(x):
     return x.reshape(b, 2 * h, 2 * w, c)
 
 
-def make_sharded_unet_forward(model, mesh, axis_name: str = "data"):
+def make_sharded_unet_forward(model, mesh, axis_name: str = "data",
+                              jit: bool = True):
     """Build the H-sharded eval forward for a `UNetSR3DWT` instance.
 
-    Returns `fn(params, x, t, cond)` (jitted): x (B, H, W, C) NHWC, t (B,),
-    cond (B, H, W, 2C+4P). H must divide by the mesh size into even slabs.
-    Matches `model.apply(..., train=False, self_cond=None)` to fp tolerance.
+    Returns `fn(params, x, t, cond)` (jitted unless `jit=False`, e.g. for
+    embedding in an outer scan): x (B, H, W, C) NHWC, t (B,), cond
+    (B, H, W, 2C+4P). H must divide by the mesh size into even slabs.
+    Matches `model.apply(..., train=False, self_cond=None)` to fp tolerance
+    — which is also the sampler contract: the DDPM/DDIM loops always pass
+    the current x as self_cond (`diffusion/gaussian.py` module note), the
+    model's fold-path default.
     """
     try:
         from jax import shard_map
@@ -270,4 +275,33 @@ def make_sharded_unet_forward(model, mesh, axis_name: str = "data"):
                            else resize_bilinear(cond_dec, hl, wl))
         return sharded_body(params, x, t_emb, tuple(enc_pyr), tuple(dec_pyr))
 
-    return jax.jit(fn)
+    return jax.jit(fn) if jit else fn
+
+
+def make_sharded_sampler(model, mesh, dcfg, sched_respaced,
+                         axis_name: str = "data"):
+    """End-to-end H-sharded DDIM sampling: the whole respaced chain is one
+    jitted program whose denoiser is the shard_map'd UNet — a single
+    beyond-HBM image samples across the mesh with no tiling approximation
+    (the exact-math alternative to `spatial.tiled_sample`).
+
+    Returns `sample(params, key, pan, lms, wavelets) -> sr in [0,1]`
+    (eval protocol: `sr = clip(sample + lms, 0, 1)`).
+    """
+    from ..data.loader import pack_cond
+    from ..diffusion import ddim_sample_loop
+
+    inner = make_sharded_unet_forward(model, mesh, axis_name, jit=False)
+
+    def sample(params, key, pan, lms, wavelets):
+        cond = pack_cond(lms, pan, wavelets)
+
+        def model_fn(x, t, c, sc, k):
+            # sc == x in the DDIM loop — the sharded forward's built-in
+            # self-cond fold is exactly that case
+            return inner(params, x, t, cond)
+
+        s = ddim_sample_loop(dcfg, sched_respaced, model_fn, key, cond)
+        return jnp.clip(s + lms, 0.0, 1.0)
+
+    return jax.jit(sample)

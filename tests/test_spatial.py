@@ -154,3 +154,49 @@ def test_full_unet_h_sharded_matches_unsharded():
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-5, rtol=5e-5)
+
+
+def test_sharded_sampler_matches_unsharded():
+    """End-to-end H-sharded DDIM sampling (shard_map'd UNet inside the scan)
+    == the engine's unsharded sampler, same params/key."""
+    from difpan_tpu.diffusion import (DiffusionConfig, make_beta_schedule,
+                                      respace, schedule_from_betas)
+    from difpan_tpu.models import UNetSR3DWT
+    from difpan_tpu.parallel import make_mesh, make_sharded_sampler
+    from difpan_tpu.data.loader import pack_cond
+    from difpan_tpu.diffusion import ddim_sample_loop
+
+    c, pc = 4, 1
+    model = UNetSR3DWT(
+        in_channel=c, out_channel=c, lms_channel=c, pan_channel=pc,
+        inner_channel=8, norm_groups=1, channel_mults=(1, 2), attn_res=(8,),
+        res_blocks=1, dropout=0.0, image_size=32, self_condition=True)
+    B, H, W = 1, 32, 32
+    key = jax.random.PRNGKey(3)
+    pan = jax.random.uniform(jax.random.PRNGKey(4), (B, H, W, pc))
+    lms = jax.random.uniform(jax.random.PRNGKey(5), (B, H, W, c))
+    wav = jax.random.uniform(jax.random.PRNGKey(6),
+                             (B, H // 2, W // 2, c + 3 * pc))
+    params = model.init(
+        {"params": jax.random.PRNGKey(7)}, lms, jnp.array([0]),
+        jnp.zeros((B, H, W, 2 * c + 4 * pc)), train=False)["params"]
+
+    dcfg = DiffusionConfig(channels=c, pred_mode="x_start", loss_type="l1",
+                           clamp_range=(0.0, 1.0), self_condition=True)
+    sched_re, _ = respace(schedule_from_betas(
+        make_beta_schedule("cosine", 20, cosine_s=8e-3)), "ddim4")
+
+    # unsharded reference (plain model.apply inside the same loop)
+    cond = pack_cond(lms, pan, wav)
+
+    def model_fn(x, t, cc, sc, k):
+        return model.apply({"params": params}, x, t, cond, sc, train=False)
+
+    ref = jnp.clip(ddim_sample_loop(dcfg, sched_re, model_fn, key, cond)
+                   + lms, 0.0, 1.0)
+
+    mesh = make_mesh(8)
+    sample = make_sharded_sampler(model, mesh, dcfg, sched_re)
+    out = sample(params, key, pan, lms, wav)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)

@@ -64,7 +64,8 @@ def _add_test(sub):
     p.add_argument("--full-res", action="store_true")
     p.add_argument("--save-mat", default=None)
     p.add_argument("--save-png-dir", default=None)
-    p.add_argument("--use-ema", action="store_true", default=True)
+    p.add_argument("--no-ema", dest="use_ema", action="store_false",
+                   default=True, help="serve/eval raw (non-EMA) params")
     p.add_argument("--n-shards", type=int, default=1,
                    help="shard eval batches over this many devices")
     p.add_argument("--tile", type=int, default=None,
@@ -73,6 +74,9 @@ def _add_test(sub):
     p.add_argument("--inner-channel", type=int, default=32)
     p.add_argument("--res-blocks", type=int, default=3)
     p.add_argument("--channel-mults", default="1,2,2,4")
+    p.add_argument("--pred-var", action="store_true",
+                   help="checkpoint was trained with the learned-variance "
+                        "head (2C-channel UNet output)")
     return p
 
 
@@ -95,10 +99,14 @@ def _add_serve(sub):
     p.add_argument("--section-counts", default="ddim25")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
-    p.add_argument("--use-ema", action="store_true", default=True)
+    p.add_argument("--no-ema", dest="use_ema", action="store_false",
+                   default=True, help="serve raw (non-EMA) params")
     p.add_argument("--inner-channel", type=int, default=32)
     p.add_argument("--res-blocks", type=int, default=3)
     p.add_argument("--channel-mults", default="1,2,2,4")
+    p.add_argument("--pred-var", action="store_true",
+                   help="checkpoint was trained with the learned-variance "
+                        "head (2C-channel UNet output)")
     return p
 
 
@@ -156,12 +164,14 @@ def _build_model_and_params(args, spec):
     from .models import UNetSR3DWT
 
     mults = tuple(int(m) for m in args.channel_mults.split(","))
+    pred_var = getattr(args, "pred_var", False)
     model = UNetSR3DWT(
-        in_channel=spec.n_channels, out_channel=spec.n_channels,
+        in_channel=spec.n_channels,
+        out_channel=spec.n_channels * (2 if pred_var else 1),
         lms_channel=spec.n_channels, pan_channel=spec.pan_channels,
         inner_channel=args.inner_channel, norm_groups=1,
         channel_mults=mults, attn_res=(8,), res_blocks=args.res_blocks,
-        dropout=0.2, image_size=64, self_condition=True)
+        dropout=0.2, image_size=64, self_condition=True, pred_var=pred_var)
     if args.weights.endswith((".pth", ".pt")):
         from .utils.torch_convert import load_reference_checkpoint
         params = jax.tree_util.tree_map(
@@ -202,7 +212,7 @@ def cmd_test(args):
         n_steps=args.n_steps, section_counts=args.section_counts,
         batch_size=args.batch_size, save_mat_path=args.save_mat,
         save_png_dir=args.save_png_dir, model=model, tile=args.tile,
-        mesh=mesh)
+        mesh=mesh, pred_var=args.pred_var)
     print(metrics)
 
 
@@ -214,7 +224,8 @@ def cmd_serve(args):
     model, params = _build_model_and_params(args, spec)
     service = SamplerService(
         params, args.dataset, model=model, n_steps=args.n_steps,
-        section_counts=args.section_counts, dtype=args.dtype)
+        section_counts=args.section_counts, dtype=args.dtype,
+        pred_var=args.pred_var)
     print(f"serving {args.dataset} sampler on "
           f"http://{args.host}:{args.port}  (POST /sample, GET /healthz)")
     serve(service, port=args.port, host=args.host)

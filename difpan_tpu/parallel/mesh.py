@@ -25,6 +25,12 @@ def make_mesh(n_devices: Optional[int] = None,
               devices=None) -> Mesh:
     devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            import warnings
+            warnings.warn(
+                f"make_mesh: requested {n_devices} devices but only "
+                f"{len(devs)} available — building a {len(devs)}-device "
+                "mesh", stacklevel=2)
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis_name,))
 

@@ -32,9 +32,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..models.common import resize_bilinear, swish
-from .spatial import (halo_exchange_h, sharded_conv3x3, sharded_groupnorm,
-                      sharded_softmax_h)
+from ..models.common import NoiseLevelMLP, resize_bilinear
+from .spatial import (sharded_block, sharded_cond_injection,
+                      sharded_conv3x3, sharded_fwm_injection,
+                      sharded_groupnorm, sharded_resnet_block)
 
 
 def _conv1x1(p, x):
@@ -51,76 +52,6 @@ def _conv3(p, x, axis_name, stride=1, groups=1):
 
 def _gn(p, x, axis_name, groups):
     return sharded_groupnorm(x, p["scale"], p["bias"], groups, axis_name)
-
-
-def _block(p, x, axis_name, groups):
-    h = _gn(p["norm"], x, axis_name, groups)
-    return _conv3(p["conv"], swish(h), axis_name)
-
-
-def _resnet_block(p, x, t_emb, axis_name, groups):
-    h = _block(p["block1"], x, axis_name, groups)
-    film = (t_emb @ p["noise_func"]["noise_func"]["dense"]["kernel"]
-            + p["noise_func"]["noise_func"]["dense"]["bias"])
-    h = h + film[:, None, None, :]
-    h = _block(p["block2"], h, axis_name, groups)
-    if "res_conv" in p:
-        x = _conv1x1(p["res_conv"], x)
-    return h + x
-
-
-def _csm_injection(p, x, cond, axis_name, groups):
-    h = sharded_conv3x3(cond, p["body_conv1"]["conv"]["kernel"], axis_name)
-    h = _gn(p["body_norm"], h, axis_name, groups)
-    h = jax.nn.silu(h)
-    h = (jnp.einsum("bhwi,io->bhwo", h, p["body_conv2"]["kernel"][0, 0])
-         + p["body_conv2"]["bias"])
-    scale, shift = jnp.split(h, 2, axis=-1)
-    x = _conv1x1(p["x_conv"], x)
-    return x * (1 + scale) + shift
-
-
-def _fwm_injection(p, x, cond, axis_name, groups, nheads=8):
-    """FastAttnCondInjection on H-slabs (`models/sr3_dwt.py` FWM):
-    q softmax over GLOBAL H, k softmax over (local) W, c x c context summed
-    over all pixels via psum."""
-    fea_dim = x.shape[-1]
-    xn = _gn(p["prenorm_x"], x, axis_name, groups)
-
-    q = _conv3(p["q_dw"], xn, axis_name, groups=fea_dim)
-    q = _conv1x1(p["q_pw"], q)
-    q = sharded_softmax_h(q, axis_name)
-
-    kv = _conv3(p["kv_dw"], cond, axis_name, groups=cond.shape[-1])
-    kv = _conv1x1(p["kv_pw"], kv)
-    k, v = jnp.split(kv, 2, axis=-1)
-    k = jax.nn.softmax(k, axis=2)  # W axis is local
-
-    qkv_dim = q.shape[-1]
-    scale = 1.0 / math.sqrt(qkv_dim // nheads)
-    b, hs, w, _ = q.shape
-
-    def heads(t):
-        return t.reshape(b, hs * w, nheads, qkv_dim // nheads) \
-                .transpose(0, 2, 3, 1)  # (b, h, d, local_pixels)
-
-    qh, kh, vh = heads(q * scale), heads(k), heads(v)
-    context = jnp.einsum("bhdn,bhen->bhde", kh, vh)
-    context = jax.lax.psum(context, axis_name)  # sum over ALL pixels
-    out = jnp.einsum("bhde,bhdn->bhen", context, qh)
-    out = out.transpose(0, 3, 1, 2).reshape(b, hs, w, qkv_dim)
-
-    attn_out = _conv1x1(p["attn_out"], out)
-    if "attn_res" in p:
-        attn_out = attn_out + _conv1x1(p["attn_res"], xn)
-    else:
-        attn_out = attn_out + xn
-
-    ffn = _conv3(p["ffn_conv1"], attn_out, axis_name)
-    ffn = jax.nn.silu(ffn)
-    ffn = _conv3(p["ffn_conv2"], ffn, axis_name)
-    ffn = _conv1x1(p["ffn_conv3"], ffn)
-    return ffn + attn_out
 
 
 def _self_attention(p, x, axis_name, groups, nheads=8):
@@ -188,18 +119,15 @@ def make_sharded_unet_forward(model, mesh, axis_name: str = "data",
     enc_cond_dim = model.lms_channel + model.pan_channel
     dec_cond_dim = model.lms_channel + model.pan_channel * 3
 
-    def t_embedding(p, t):
-        dim = model.inner_channel
-        count = dim // 2
-        step = jnp.arange(count, dtype=jnp.float32) / count
-        enc = (t.astype(jnp.float32)[:, None]
-               * jnp.exp(-math.log(1e4) * step[None, :]))
-        h = jnp.concatenate([jnp.sin(enc), jnp.cos(enc)], axis=-1)
-        h = h @ p["lin1"]["dense"]["kernel"] + p["lin1"]["dense"]["bias"]
-        h = swish(h)
-        return h @ p["lin2"]["dense"]["kernel"] + p["lin2"]["dense"]["bias"]
+    noise_mlp = NoiseLevelMLP(model.inner_channel)
 
-    def body(params, x, t_emb, cond_enc_pyr, cond_dec_pyr):
+    def t_embedding(p, t):
+        return noise_mlp.apply({"params": p}, t)
+
+    def body(params, x, t_emb, cond_enc_pyr, cond_dec_pyr,
+             enc_cache=None, dec_cache=None):
+        enc_it = iter(enc_cache) if enc_cache is not None else None
+        dec_it = iter(dec_cache) if dec_cache is not None else None
         # head conv with the self-cond fold (self_cond defaults to x)
         kh = params["head_conv"]["conv"]["kernel"]
         c_in = x.shape[-1]
@@ -213,9 +141,13 @@ def make_sharded_unet_forward(model, mesh, axis_name: str = "data",
         for ind in range(num_mults):
             for blk in range(res_blocks):
                 p = params[f"down_{ind}_{blk}"]
-                x = _csm_injection(p["cond_inj"], x, cond_enc_pyr[lvl],
-                                   axis_name, groups)
-                x = _resnet_block(p["res_block"], x, t_emb, axis_name,
+                x = sharded_cond_injection(
+                    p["cond_inj"], x,
+                    None if enc_it is not None else cond_enc_pyr[lvl],
+                    axis_name, groups,
+                    cached=(next(enc_it) if enc_it is not None
+                            else None))
+                x = sharded_resnet_block(p["res_block"], x, t_emb, axis_name,
                                   groups)
                 if enc_attn[ind]:
                     x = _self_attention(p["attn"], x, axis_name, groups)
@@ -229,19 +161,23 @@ def make_sharded_unet_forward(model, mesh, axis_name: str = "data",
                 feats.append(x)
                 lvl += 1
 
-        x = _resnet_block(params["mid_0"]["res_block"], x, t_emb, axis_name,
+        x = sharded_resnet_block(params["mid_0"]["res_block"], x, t_emb, axis_name,
                           groups)
         x = _self_attention(params["mid_0"]["attn"], x, axis_name, groups)
-        x = _resnet_block(params["mid_1"]["res_block"], x, t_emb, axis_name,
+        x = sharded_resnet_block(params["mid_1"]["res_block"], x, t_emb, axis_name,
                           groups)
 
         for ind in reversed(range(num_mults)):
             for blk in range(res_blocks + 1):
                 p = params[f"up_{ind}_{blk}"]
                 x = jnp.concatenate([x, feats.pop()], axis=-1)
-                x = _fwm_injection(p["cond_inj"], x, cond_dec_pyr[lvl],
-                                   axis_name, groups)
-                x = _resnet_block(p["res_block"], x, t_emb, axis_name,
+                x = sharded_fwm_injection(
+                    p["cond_inj"], x,
+                    None if dec_it is not None else cond_dec_pyr[lvl],
+                    axis_name, groups,
+                    cached=(next(dec_it) if dec_it is not None
+                            else None))
+                x = sharded_resnet_block(p["res_block"], x, t_emb, axis_name,
                                   groups)
                 if dec_attn[ind]:
                     x = _self_attention(p["attn"], x, axis_name, groups)
@@ -253,13 +189,48 @@ def make_sharded_unet_forward(model, mesh, axis_name: str = "data",
                                     bias=up["conv"]["conv"]["bias"])
                 lvl -= 1
 
-        return _block(params["final_conv"], x, axis_name, groups)
+        return sharded_block(params["final_conv"], x, axis_name,
+                             groups)
+
+    def cond_cache_body(params, cond_enc_pyr, cond_dec_pyr):
+        """The loop-invariant cond features, computed once per sample:
+        per-encoder-block (scale, shift) H-slabs and per-decoder-block
+        (replicated, psum'd) FWM context matrices."""
+        enc, dec = [], []
+        lvl = 0
+        for ind in range(num_mults):
+            for blk in range(res_blocks):
+                p = params[f"down_{ind}_{blk}"]
+                enc.append(sharded_cond_injection(
+                    p["cond_inj"], None, cond_enc_pyr[lvl], axis_name,
+                    groups, cond_only=True))
+            if ind != num_mults - 1:
+                lvl += 1
+        for ind in reversed(range(num_mults)):
+            for blk in range(res_blocks + 1):
+                p = params[f"up_{ind}_{blk}"]
+                dec.append(sharded_fwm_injection(
+                    p["cond_inj"], None, cond_dec_pyr[lvl], axis_name,
+                    groups, cond_only=True))
+            if ind >= 1:
+                lvl -= 1
+        return tuple(enc), tuple(dec)
 
     spat = P(None, axis_name, None, None)
     sharded_body = shard_map(
         body, mesh=mesh,
         in_specs=(P(), spat, P(), (spat,) * num_mults, (spat,) * num_mults),
         out_specs=spat)
+    # cached variant: pyramids already folded into the caches
+    sharded_body_cached = shard_map(
+        lambda pr, x, te, ec, dc: body(pr, x, te, None, None, ec, dc),
+        mesh=mesh,
+        in_specs=(P(), spat, P(), spat, P()),
+        out_specs=spat)
+    sharded_cond_cache = shard_map(
+        cond_cache_body, mesh=mesh,
+        in_specs=(P(), (spat,) * num_mults, (spat,) * num_mults),
+        out_specs=(spat, P()))
 
     def fn(params, x, t, cond):
         t_emb = t_embedding(params["noise_level_mlp"], t)
@@ -275,6 +246,23 @@ def make_sharded_unet_forward(model, mesh, axis_name: str = "data",
                            else resize_bilinear(cond_dec, hl, wl))
         return sharded_body(params, x, t_emb, tuple(enc_pyr), tuple(dec_pyr))
 
+    def pyramids(cond):
+        cond_enc = cond[..., :enc_cond_dim]
+        cond_dec = cond[..., -dec_cond_dim:]
+        h0, w0 = cond.shape[1], cond.shape[2]
+        enc_pyr, dec_pyr = [], []
+        for l in range(num_mults):
+            hl, wl = h0 // (2 ** l), w0 // (2 ** l)
+            enc_pyr.append(cond_enc if hl == h0
+                           else resize_bilinear(cond_enc, hl, wl))
+            dec_pyr.append(cond_dec if hl == h0
+                           else resize_bilinear(cond_dec, hl, wl))
+        return tuple(enc_pyr), tuple(dec_pyr)
+
+    fn.pyramids = pyramids
+    fn.cond_cache = sharded_cond_cache
+    fn.body_cached = sharded_body_cached
+    fn.t_embedding = t_embedding
     return jax.jit(fn) if jit else fn
 
 
@@ -295,11 +283,17 @@ def make_sharded_sampler(model, mesh, dcfg, sched_respaced,
 
     def sample(params, key, pan, lms, wavelets):
         cond = pack_cond(lms, pan, wavelets)
+        # loop-invariant cond features (CSM scale/shift slabs, FWM context
+        # matrices incl. their psums) hoisted OUT of the sampling scan —
+        # the sharded analog of the model's cond_only/cond_cache contract
+        enc_pyr, dec_pyr = inner.pyramids(cond)
+        enc_cache, dec_cache = inner.cond_cache(params, enc_pyr, dec_pyr)
 
         def model_fn(x, t, c, sc, k):
             # sc == x in the DDIM loop — the sharded forward's built-in
             # self-cond fold is exactly that case
-            return inner(params, x, t, cond)
+            t_emb = inner.t_embedding(params["noise_level_mlp"], t)
+            return inner.body_cached(params, x, t_emb, enc_cache, dec_cache)
 
         s = ddim_sample_loop(dcfg, sched_respaced, model_fn, key, cond)
         return jnp.clip(s + lms, 0.0, 1.0)

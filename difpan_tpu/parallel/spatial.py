@@ -20,9 +20,12 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ..models.common import swish as _swish
 
 
 def halo_exchange_h(x: jnp.ndarray, axis_name: str,
@@ -96,10 +99,6 @@ def sharded_groupnorm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     return xn.reshape(b, h, w, c) * scale + bias
 
 
-def _swish(x):
-    return x * jax.nn.sigmoid(x)
-
-
 def sharded_block(p, x, axis_name: str, groups: int = 1) -> jnp.ndarray:
     """`models/common.py:Block` (GN -> Swish -> conv3x3) on an H-slab
     (eval mode: no dropout). `p` is the flax param subtree of a Block."""
@@ -126,22 +125,96 @@ def sharded_resnet_block(p, x, t_emb, axis_name: str,
     return h + x
 
 
-def sharded_cond_injection(p, x, cond, axis_name: str,
-                           groups: int = 1) -> jnp.ndarray:
+def _conv1x1_p(p, x):
+    return (jnp.einsum("bhwi,io->bhwo", x, p["conv"]["kernel"][0, 0])
+            + p["conv"]["bias"])
+
+
+def sharded_cond_injection(p, x, cond, axis_name: str, groups: int = 1, *,
+                           cached=None, cond_only: bool = False):
     """CSM `CondInjection` on an H-slab (cond pre-resized to x's res and
-    H-sharded the same way). `p` is the param subtree of a CondInjection."""
-    h = sharded_conv3x3(cond, p["body_conv1"]["conv"]["kernel"],
-                        axis_name)
-    h = sharded_groupnorm(h, p["body_norm"]["scale"], p["body_norm"]["bias"],
-                          groups, axis_name)
-    h = jax.nn.silu(h)
-    h = (jnp.einsum("bhwi,io->bhwo", h, p["body_conv2"]["kernel"][0, 0])
-         + p["body_conv2"]["bias"])
-    scale, shift = jnp.split(h, 2, axis=-1)
-    x = (jnp.einsum("bhwi,io->bhwo", x,
-                    p["x_conv"]["conv"]["kernel"][0, 0])
-         + p["x_conv"]["conv"]["bias"])
+    H-sharded the same way). `p` is the param subtree of a CondInjection.
+
+    Like the model's `cond_only`/`cached` contract: the whole (scale, shift)
+    branch depends only on cond, so samplers compute it once outside the
+    scan (`cond_only=True`) and pass it back per step (`cached=`)."""
+    if cached is not None:
+        scale, shift = cached
+    else:
+        h = sharded_conv3x3(cond, p["body_conv1"]["conv"]["kernel"],
+                            axis_name)
+        h = sharded_groupnorm(h, p["body_norm"]["scale"],
+                              p["body_norm"]["bias"], groups, axis_name)
+        h = jax.nn.silu(h)
+        h = (jnp.einsum("bhwi,io->bhwo", h, p["body_conv2"]["kernel"][0, 0])
+             + p["body_conv2"]["bias"])
+        scale, shift = jnp.split(h, 2, axis=-1)
+    if cond_only:
+        return (scale, shift)
+    x = _conv1x1_p(p["x_conv"], x)
     return x * (1 + scale) + shift
+
+
+def sharded_fwm_injection(p, x, cond, axis_name: str, groups: int = 1,
+                          nheads: int = 8, *, cached=None,
+                          cond_only: bool = False):
+    """FastAttnCondInjection (FWM) on H-slabs (`models/sr3_dwt.py`):
+    q softmax over GLOBAL H (`sharded_softmax_h`), k softmax over the local
+    W axis, c x c context summed over ALL pixels via psum.
+
+    The k/v branch and the context depend only on cond: `cond_only=True`
+    returns the (replicated, psum'd) context matrix, `cached=` consumes it.
+    """
+    import math as _math
+
+    if cached is not None:
+        context = cached
+        qkv_dim = context.shape[1] * context.shape[2]
+    else:
+        kv = sharded_conv3x3(cond, p["kv_dw"]["conv"]["kernel"], axis_name,
+                             feature_group_count=cond.shape[-1])
+        kv = _conv1x1_p(p["kv_pw"], kv)
+        k, v = jnp.split(kv, 2, axis=-1)
+        k = jax.nn.softmax(k, axis=2)  # W axis is local
+        qkv_dim = k.shape[-1]
+        d = qkv_dim // nheads
+        b, hs, w, _ = k.shape
+
+        def heads(t):
+            return t.reshape(b, hs * w, nheads, d).transpose(0, 2, 3, 1)
+
+        context = jnp.einsum("bhdn,bhen->bhde", heads(k), heads(v))
+        context = jax.lax.psum(context, axis_name)  # sum over ALL pixels
+    if cond_only:
+        return context
+
+    fea_dim = x.shape[-1]
+    xn = sharded_groupnorm(x, p["prenorm_x"]["scale"], p["prenorm_x"]["bias"],
+                           groups, axis_name)
+    q = sharded_conv3x3(xn, p["q_dw"]["conv"]["kernel"], axis_name,
+                        feature_group_count=fea_dim)
+    q = _conv1x1_p(p["q_pw"], q)
+    q = sharded_softmax_h(q, axis_name)
+
+    d = qkv_dim // nheads
+    scale = 1.0 / _math.sqrt(d)
+    b, hs, w, _ = q.shape
+    qh = (q * scale).reshape(b, hs * w, nheads, d).transpose(0, 2, 3, 1)
+    out = jnp.einsum("bhde,bhdn->bhen", context, qh)
+    out = out.transpose(0, 3, 1, 2).reshape(b, hs, w, qkv_dim)
+
+    attn_out = _conv1x1_p(p["attn_out"], out)
+    if "attn_res" in p:
+        attn_out = attn_out + _conv1x1_p(p["attn_res"], xn)
+    else:
+        attn_out = attn_out + xn
+
+    ffn = sharded_conv3x3(attn_out, p["ffn_conv1"]["conv"]["kernel"],
+                          axis_name)
+    ffn = jax.nn.silu(ffn)
+    ffn = sharded_conv3x3(ffn, p["ffn_conv2"]["conv"]["kernel"], axis_name)
+    ffn = _conv1x1_p(p["ffn_conv3"], ffn)
+    return ffn + attn_out
 
 
 def sharded_downsample(p, x, axis_name: str) -> jnp.ndarray:

@@ -62,8 +62,10 @@ class SamplerService:
         dtype: str = "float32",
         max_compiled_shapes: int = 8,
         seed: int = 0,
+        pred_var: bool = False,
     ):
         self.spec = get_dataset_spec(dataset_name)
+        self.pred_var = pred_var
         self.model = model or self._default_model()
         if dtype == "bfloat16":
             params = jax.tree_util.tree_map(
@@ -73,7 +75,8 @@ class SamplerService:
         self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         self.dcfg = DiffusionConfig(
             channels=self.spec.n_channels, pred_mode="x_start",
-            loss_type="l1", clamp_range=(0.0, 1.0), self_condition=True)
+            loss_type="l1", clamp_range=(0.0, 1.0), self_condition=True,
+            pred_var=pred_var)
         self.sched_re, _ = respace(
             schedule_from_betas(
                 make_beta_schedule("cosine", n_steps, cosine_s=8e-3)),
@@ -88,26 +91,35 @@ class SamplerService:
         # per-dataset eval config (`diffusion_engine.py:371-393`)
         return UNetSR3DWT(
             in_channel=self.spec.n_channels,
-            out_channel=self.spec.n_channels,
+            out_channel=self.spec.n_channels * (2 if self.pred_var else 1),
             lms_channel=self.spec.n_channels,
             pan_channel=self.spec.pan_channels,
             inner_channel=32, norm_groups=1, channel_mults=(1, 2, 2, 4),
             attn_res=(8,), res_blocks=3, dropout=0.2, image_size=64,
-            self_condition=True)
+            self_condition=True, pred_var=self.pred_var)
 
     # -- sampling -----------------------------------------------------------
 
     def _sample_fn(self):
         model, dcfg, sched_re = self.model, self.dcfg, self.sched_re
+        dt = self.dtype
+
+        def cast_in(a):
+            return a.astype(dt) if a.dtype == jnp.float32 else a
 
         def sample(params, key, pan, lms, wavelets):
             cond = pack_cond(lms, pan, wavelets)
-            cache = model.apply({"params": params}, None, None, cond,
-                                cond_only=True)
+            cache = model.apply({"params": params}, None, None,
+                                cast_in(cond), cond_only=True)
 
             def model_fn(x, t, c, sc, k):
-                return model.apply({"params": params}, x, t, None, sc,
-                                   train=False, cond_cache=cache)
+                # the diffusion state x is f32 (and the solver math stays
+                # f32); cast at the model boundary so the UNet runs in the
+                # service dtype — the engine's _dtype_casts pattern
+                out = model.apply({"params": params}, cast_in(x), t, None,
+                                  cast_in(sc), train=False,
+                                  cond_cache=cache)
+                return out.astype(jnp.float32)
 
             s = ddim_sample_loop(dcfg, sched_re, model_fn, key, cond)
             return jnp.clip(s + lms, 0.0, 1.0)
@@ -165,7 +177,9 @@ class SamplerService:
                 self._key, k = jax.random.split(self._key)
             else:
                 k = jax.random.PRNGKey(seed)
-        args = tuple(jnp.asarray(a, self.dtype)
+        # inputs stay f32 — the sampler casts at the model boundary, so the
+        # final `sample + lms` add keeps full precision
+        args = tuple(jnp.asarray(a, jnp.float32)
                      for a in (pan_p, lms_p, wav_p))
         sr = fn(self.params, k, *args)
         return np.asarray(jax.device_get(sr), np.float32)[:n_real]

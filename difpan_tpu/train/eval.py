@@ -64,6 +64,7 @@ def evaluate(
     tile: Optional[int] = None,
     tile_overlap: int = 32,
     mesh=None,
+    pred_var: bool = False,
 ) -> Dict[str, float]:
     """Run the full eval protocol; returns the averaged metric dict
     (empty for full-res). `test_data` is an h5-like dict or a dataset.
@@ -96,7 +97,7 @@ def evaluate(
             else ds.hsi_up.shape[-1])
     dcfg = DiffusionConfig(channels=n_ch, pred_mode="x_start",
                            loss_type="l1", clamp_range=(0.0, 1.0),
-                           self_condition=True)
+                           self_condition=True, pred_var=pred_var)
     sched = schedule_from_betas(
         make_beta_schedule("cosine", n_steps, cosine_s=8e-3))
     sched_re, _ = respace(sched, section_counts)

@@ -113,3 +113,23 @@ def test_evaluate_mesh_sharded_matches_single_device():
                   mesh=make_mesh(8))
     for k in m1:
         np.testing.assert_allclose(m1[k], m2[k], rtol=2e-4, err_msg=k)
+
+
+def test_evaluate_pred_var_model():
+    """A learned-variance (2C-output) checkpoint evaluates end-to-end: the
+    eval engine must build the doubled head and split [prediction, var]
+    during DDIM (regression: the pred-var feature used to dead-end at
+    train time with no eval path)."""
+    d = make_synthetic_pan_h5(n=4, channels=4, size=32, division=1023.0)
+    model = UNetSR3DWT(
+        in_channel=4, out_channel=8, lms_channel=4, pan_channel=1,
+        inner_channel=8, norm_groups=1, channel_mults=(1, 2), attn_res=(16,),
+        res_blocks=1, dropout=0.0, image_size=32, self_condition=True,
+        pred_var=True)
+    params = _params(model)
+    null = type("L", (), {"print": staticmethod(lambda *a: None)})()
+    metrics = evaluate(d, params, "gf2", n_steps=10, section_counts="ddim4",
+                       batch_size=4, model=model, logger=null,
+                       pred_var=True)
+    assert set(metrics) == {"SAM", "ERGAS", "PSNR", "CC", "SSIM"}
+    assert all(np.isfinite(v) for v in metrics.values())

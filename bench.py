@@ -33,6 +33,10 @@ def main():
                    choices=["f32", "bf16"])
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas GN+Swish / FWM kernels")
+    p.add_argument("--sampler", default="dpm", choices=["dpm", "ddim"],
+                   help="dpm = 20-step DPM-Solver++ (the headline metric); "
+                        "ddim = the eval protocol's DDIM respacing of a "
+                        "cosine T=500 schedule (--steps NFE, default 25)")
     args = p.parse_args()
 
     import jax
@@ -77,17 +81,43 @@ def main():
         return model.apply({"params": params}, xx, t_input, None,
                            train=False, cond_cache=cache)
 
-    @jax.jit
-    def run(key):
-        cache = model.apply({"params": params}, None, None, cond,
-                            cond_only=True)
-        model_fn = model_wrapper(
-            lambda xx, tt: x0_model(xx, tt, cache), ns, model_type="x_start")
-        solver = DPMSolver(model_fn, ns, algorithm_type="dpmsolver++",
-                           correcting_x0_fn=lambda x0, t: jnp.clip(x0, -1, 1))
-        xT = jax.random.normal(key, (b, s, s, c), dtype)
-        return solver.sample(xT, steps=args.steps, order=2,
-                             method="multistep", skip_type="time_uniform")
+    if args.sampler == "ddim":
+        from difpan_tpu.diffusion import (DiffusionConfig, respace,
+                                          schedule_from_betas,
+                                          ddim_sample_loop)
+        nfe = args.steps if args.steps != 20 else 25
+        dcfg = DiffusionConfig(channels=c, pred_mode="x_start",
+                               loss_type="l1", clamp_range=(0.0, 1.0),
+                               self_condition=True)
+        sched_re, _ = respace(schedule_from_betas(
+            make_beta_schedule("cosine", 500, cosine_s=8e-3)), f"ddim{nfe}")
+
+        @jax.jit
+        def run(key):
+            cache = model.apply({"params": params}, None, None, cond,
+                                cond_only=True)
+
+            def model_fn(x, t, cc, sc, k):
+                out = model.apply({"params": params}, x.astype(dtype), t,
+                                  None, sc.astype(dtype), train=False,
+                                  cond_cache=cache)
+                return out.astype(jnp.float32)
+
+            return ddim_sample_loop(dcfg, sched_re, model_fn, key, cond)
+    else:
+        @jax.jit
+        def run(key):
+            cache = model.apply({"params": params}, None, None, cond,
+                                cond_only=True)
+            model_fn = model_wrapper(
+                lambda xx, tt: x0_model(xx, tt, cache), ns,
+                model_type="x_start")
+            solver = DPMSolver(
+                model_fn, ns, algorithm_type="dpmsolver++",
+                correcting_x0_fn=lambda x0, t: jnp.clip(x0, -1, 1))
+            xT = jax.random.normal(key, (b, s, s, c), dtype)
+            return solver.sample(xT, steps=args.steps, order=2,
+                                 method="multistep", skip_type="time_uniform")
 
     # compile + warmup
     out = run(jax.random.PRNGKey(2))
@@ -102,8 +132,10 @@ def main():
     dt = min(times)
     mps = b * s * s / 1e6 / dt
 
+    metric = ("wv3_dpmsolver20_sampling_throughput" if args.sampler == "dpm"
+              else "wv3_ddim_protocol_sampling_throughput")
     result = {
-        "metric": "wv3_dpmsolver20_sampling_throughput",
+        "metric": metric,
         "value": round(mps, 4),
         "unit": "MP/s/chip",
         "vs_baseline": round(mps / (TARGET_MULTIPLier * REFERENCE_CPU_MPS),

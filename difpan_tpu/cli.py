@@ -94,8 +94,9 @@ def _add_serve(sub):
     p.add_argument("--dataset", default="wv3")
     p.add_argument("--port", type=int, default=8500)
     p.add_argument("--host", default="127.0.0.1")
-    p.add_argument("--n-steps", type=int, default=500,
-                   help="schedule length (cosine)")
+    p.add_argument("--n-steps", type=int, default=25,
+                   help="schedule length (cosine); 25 matches the `test` "
+                        "command and the reference's shipped eval config")
     p.add_argument("--section-counts", default="ddim25")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])

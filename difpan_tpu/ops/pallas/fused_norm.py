@@ -47,11 +47,14 @@ def fused_groupnorm_swish(x: jnp.ndarray, scale: jnp.ndarray,
     the (H, W, C) map lives in VMEM for the whole fused pass.
     interpret=None auto-selects interpreter mode off-TPU."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = jax.default_backend() not in ("tpu", "axon")
     b, h, w, c = x.shape
     # per-sample map must fit VMEM (with in+out double buffering);
     # larger maps fall back to the XLA path (same numerics)
-    if h * w * c * x.dtype.itemsize > 3 * 1024 * 1024 and not interpret:
+    # size the guard for the kernel's f32 working set, not the input
+    # dtype (bf16 blocks are upcast inside the kernel)
+    if h * w * c * max(x.dtype.itemsize, 4) > 3 * 1024 * 1024 \
+            and not interpret:
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
         var = jnp.mean((xf - mean) ** 2, axis=(1, 2, 3), keepdims=True)

@@ -62,7 +62,7 @@ def fwm_linear_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     context=sum_hw k*v ; out = q @ context, per head.
     interpret=None auto-selects interpreter mode off-TPU."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = jax.default_backend() not in ("tpu", "axon")
     b, hh, ww, c = q.shape
     d = c // nheads
     hw = hh * ww

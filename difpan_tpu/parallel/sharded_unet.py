@@ -18,8 +18,8 @@ self_cond=None), verified against the unsharded forward in
   * GroupNorm(1) — global moments via `psum`;
   * FWM q softmax (over global H) — `pmax`/`psum` normalization;
   * FWM context matrix (sum over all pixels) — local partial + `psum`;
-  * self-attention (8x8-res feature maps) — `all_gather` rows, dense
-    attention, slice own slab back (tiny at this depth);
+  * self-attention (8x8-res feature maps) — local queries against
+    `all_gather`'d K/V: each device holds 1/n of the score matrix;
   * nearest-2x upsample / stride-2 downsample — shard-local by
     construction (even slab heights).
 """
@@ -27,7 +27,6 @@ self_cond=None), verified against the unsharded forward in
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -43,34 +42,34 @@ def _conv1x1(p, x):
             + p["conv"]["bias"])
 
 
-def _conv3(p, x, axis_name, stride=1, groups=1):
-    k = p["conv"]["kernel"]
-    b = p["conv"].get("bias")
-    return sharded_conv3x3(x, k, axis_name, bias=b, stride=stride,
-                           feature_group_count=groups)
-
-
 def _gn(p, x, axis_name, groups):
     return sharded_groupnorm(x, p["scale"], p["bias"], groups, axis_name)
 
 
 def _self_attention(p, x, axis_name, groups, nheads=8):
-    """Gather the (small, deep-stage) feature map, run dense attention,
-    slice this shard's rows back."""
+    """Self-attention on an H-slab: queries stay LOCAL (this shard's rows),
+    only K/V are all_gathered — each device computes 1/n of the score
+    matrix and attention output (rows are complete, so numerics match the
+    dense softmax). Peak score memory per device is (local_tokens x
+    global_tokens), not the full HW x HW."""
     b, hs, w, c = x.shape
     head_dim = c // nheads
     xn = _gn(p["norm"], x, axis_name, groups)
-    full = jax.lax.all_gather(xn, axis_name, axis=1, tiled=True)
-    hw = full.shape[1] * w
-    qkv = jnp.einsum("bhwi,io->bhwo", full, p["qkv"]["conv"]["kernel"][0, 0])
-    qkv = qkv.reshape(b, hw, nheads, 3 * head_dim)
+    qkv = jnp.einsum("bhwi,io->bhwo", xn, p["qkv"]["conv"]["kernel"][0, 0])
+    qkv = qkv.reshape(b, hs * w, nheads, 3 * head_dim)
     q, k, v = jnp.split(qkv, 3, axis=-1)
+    # K/V must span the global map; gathering the (b, hs, w, 2c) halves is
+    # cheap at the deep stages where attention runs
+    k = jax.lax.all_gather(k.reshape(b, hs, w, nheads * head_dim),
+                           axis_name, axis=1, tiled=True)
+    v = jax.lax.all_gather(v.reshape(b, hs, w, nheads * head_dim),
+                           axis_name, axis=1, tiled=True)
+    hw_full = k.shape[1] * w
+    k = k.reshape(b, hw_full, nheads, head_dim)
+    v = v.reshape(b, hw_full, nheads, head_dim)
     attn = jnp.einsum("bqnd,bknd->bnqk", q, k) / math.sqrt(c)
     attn = jax.nn.softmax(attn, axis=-1)
-    out = jnp.einsum("bnqk,bknd->bqnd", attn, v).reshape(
-        b, full.shape[1], w, c)
-    idx = jax.lax.axis_index(axis_name)
-    out = jax.lax.dynamic_slice_in_dim(out, idx * hs, hs, axis=1)
+    out = jnp.einsum("bnqk,bknd->bqnd", attn, v).reshape(b, hs, w, c)
     out = _conv1x1(p["out"], out)
     return out + x
 
@@ -232,19 +231,24 @@ def make_sharded_unet_forward(model, mesh, axis_name: str = "data",
         in_specs=(P(), (spat,) * num_mults, (spat,) * num_mults),
         out_specs=(spat, P()))
 
+    def check_h(h):
+        # H must split into equal slabs that stay even through every
+        # stride-2 stage; fail fast with the actual requirement instead of
+        # an obscure shape mismatch deep in the decoder. Images that don't
+        # satisfy it (e.g. 1000px on 8 devices) should be padded to the
+        # next multiple (or use `spatial.tiled_sample`).
+        need = mesh.size * 2 ** (num_mults - 1)
+        if h % need != 0:
+            raise ValueError(
+                f"H={h} must be divisible by mesh_size * "
+                f"2^(num_stages-1) = {mesh.size} * "
+                f"{2 ** (num_mults - 1)} = {need} for H-sharded execution")
+
     def fn(params, x, t, cond):
+        check_h(x.shape[1])
         t_emb = t_embedding(params["noise_level_mlp"], t)
-        cond_enc = cond[..., :enc_cond_dim]
-        cond_dec = cond[..., -dec_cond_dim:]
-        h0, w0 = cond.shape[1], cond.shape[2]
-        enc_pyr, dec_pyr = [], []
-        for l in range(num_mults):
-            hl, wl = h0 // (2 ** l), w0 // (2 ** l)
-            enc_pyr.append(cond_enc if hl == h0
-                           else resize_bilinear(cond_enc, hl, wl))
-            dec_pyr.append(cond_dec if hl == h0
-                           else resize_bilinear(cond_dec, hl, wl))
-        return sharded_body(params, x, t_emb, tuple(enc_pyr), tuple(dec_pyr))
+        enc_pyr, dec_pyr = pyramids(cond)
+        return sharded_body(params, x, t_emb, enc_pyr, dec_pyr)
 
     def pyramids(cond):
         cond_enc = cond[..., :enc_cond_dim]
@@ -263,6 +267,7 @@ def make_sharded_unet_forward(model, mesh, axis_name: str = "data",
     fn.cond_cache = sharded_cond_cache
     fn.body_cached = sharded_body_cached
     fn.t_embedding = t_embedding
+    fn.check_h = check_h
     return jax.jit(fn) if jit else fn
 
 
@@ -282,6 +287,7 @@ def make_sharded_sampler(model, mesh, dcfg, sched_respaced,
     inner = make_sharded_unet_forward(model, mesh, axis_name, jit=False)
 
     def sample(params, key, pan, lms, wavelets):
+        inner.check_h(lms.shape[1])
         cond = pack_cond(lms, pan, wavelets)
         # loop-invariant cond features (CSM scale/shift slabs, FWM context
         # matrices incl. their psums) hoisted OUT of the sampling scan —

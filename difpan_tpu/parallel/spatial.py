@@ -94,7 +94,8 @@ def sharded_groupnorm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     ss = jax.lax.psum(ss, axis_name)
     n = h * w * (c // groups) * jax.lax.axis_size(axis_name)
     mean = s / n
-    var = ss / n - mean * mean
+    # clamp like flax GroupNorm: E[x^2] - mean^2 can cancel below 0 in fp
+    var = jnp.maximum(ss / n - mean * mean, 0.0)
     xn = (xg - mean) * jax.lax.rsqrt(var + eps)
     return xn.reshape(b, h, w, c) * scale + bias
 

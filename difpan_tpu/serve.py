@@ -57,7 +57,12 @@ class SamplerService:
         dataset_name: str = "wv3",
         *,
         model: Optional[UNetSR3DWT] = None,
-        n_steps: int = 500,
+        # matches the reference's shipped eval invocation
+        # (`diffusion_engine.py:527`: n_steps=25 + ddim25, identity
+        # respacing) and our `test` CLI default, so the service returns the
+        # same samples as batch eval on the same weights; pass 500/1500 for
+        # the alternative configs in the reference source
+        n_steps: int = 25,
         section_counts: str = "ddim25",
         dtype: str = "float32",
         max_compiled_shapes: int = 8,
@@ -127,17 +132,20 @@ class SamplerService:
         return sample
 
     def _get_compiled(self, shape: Tuple[int, int, int]):
+        # create the jit wrapper under the lock so concurrent first
+        # requests for one shape share a single wrapper — jax then
+        # deduplicates the (expensive) trace/compile internally instead of
+        # two threads compiling the same program twice
         with self._lock:
             fn = self._compiled.get(shape)
-            if fn is not None:
+            if fn is None:
+                fn = jax.jit(self._sample_fn())
+                self._compiled[shape] = fn
+                while len(self._compiled) > self._max_shapes:
+                    self._compiled.popitem(last=False)
+            else:
                 self._compiled.move_to_end(shape)
-                return fn
-        fn = jax.jit(self._sample_fn())
-        with self._lock:
-            self._compiled[shape] = fn
-            while len(self._compiled) > self._max_shapes:
-                self._compiled.popitem(last=False)
-        return fn
+            return fn
 
     def _wavelets_host(self, pan: np.ndarray, lms: np.ndarray) -> np.ndarray:
         """[lms_LL, pan_H, pan_D, pan_V] at half resolution, NHWC — the

@@ -4,4 +4,5 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
 )
-from .sharded_unet import make_sharded_unet_forward, make_sharded_sampler
+from .sharded_unet import (make_sharded_unet_forward, make_sharded_sampler,
+                           make_sharded_dpm_sampler)

@@ -305,3 +305,40 @@ def make_sharded_sampler(model, mesh, dcfg, sched_respaced,
         return jnp.clip(s + lms, 0.0, 1.0)
 
     return jax.jit(sample)
+
+
+def make_sharded_dpm_sampler(model, mesh, betas, *, steps: int = 20,
+                             order: int = 2, axis_name: str = "data"):
+    """H-sharded DPM-Solver++ sampling — the fast-sampler counterpart of
+    `make_sharded_sampler`: the multistep solver scan drives the
+    shard_map'd UNet (cond features hoisted once per sample), so a single
+    beyond-HBM image gets the reduced-NFE sampler too.
+
+    Returns `sample(params, key, pan, lms, wavelets) -> sr in [0,1]`.
+    """
+    from ..data.loader import pack_cond
+    from ..solvers import DPMSolver, NoiseScheduleVP, model_wrapper
+
+    inner = make_sharded_unet_forward(model, mesh, axis_name, jit=False)
+    ns = NoiseScheduleVP("discrete", betas=betas)
+
+    def sample(params, key, pan, lms, wavelets):
+        inner.check_h(lms.shape[1])
+        cond = pack_cond(lms, pan, wavelets)
+        enc_pyr, dec_pyr = inner.pyramids(cond)
+        enc_cache, dec_cache = inner.cond_cache(params, enc_pyr, dec_pyr)
+
+        def x0_model(xx, t_input):
+            t_emb = inner.t_embedding(params["noise_level_mlp"], t_input)
+            return inner.body_cached(params, xx, t_emb, enc_cache, dec_cache)
+
+        model_fn = model_wrapper(x0_model, ns, model_type="x_start")
+        solver = DPMSolver(
+            model_fn, ns, algorithm_type="dpmsolver++",
+            correcting_x0_fn=lambda x0, t: jnp.clip(x0, -1, 1))
+        xT = jax.random.normal(key, lms.shape)
+        s = solver.sample(xT, steps=steps, order=order, method="multistep",
+                          skip_type="time_uniform")
+        return jnp.clip(s + lms, 0.0, 1.0)
+
+    return jax.jit(sample)

@@ -200,3 +200,50 @@ def test_sharded_sampler_matches_unsharded():
     out = sample(params, key, pan, lms, wav)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_sharded_dpm_sampler_matches_unsharded():
+    """H-sharded DPM-Solver++ multistep sampling == the unsharded solver,
+    same params/key (the fast-sampler path for beyond-HBM images)."""
+    from difpan_tpu.diffusion import make_beta_schedule
+    from difpan_tpu.models import UNetSR3DWT
+    from difpan_tpu.parallel import make_mesh, make_sharded_dpm_sampler
+    from difpan_tpu.data.loader import pack_cond
+    from difpan_tpu.solvers import DPMSolver, NoiseScheduleVP, model_wrapper
+
+    c, pc = 4, 1
+    model = UNetSR3DWT(
+        in_channel=c, out_channel=c, lms_channel=c, pan_channel=pc,
+        inner_channel=8, norm_groups=1, channel_mults=(1, 2), attn_res=(8,),
+        res_blocks=1, dropout=0.0, image_size=32, self_condition=True)
+    B, H, W = 1, 32, 32
+    key = jax.random.PRNGKey(13)
+    pan = jax.random.uniform(jax.random.PRNGKey(14), (B, H, W, pc))
+    lms = jax.random.uniform(jax.random.PRNGKey(15), (B, H, W, c))
+    wav = jax.random.uniform(jax.random.PRNGKey(16),
+                             (B, H // 2, W // 2, c + 3 * pc))
+    params = model.init(
+        {"params": jax.random.PRNGKey(17)}, lms, jnp.array([0]),
+        jnp.zeros((B, H, W, 2 * c + 4 * pc)), train=False)["params"]
+    betas = make_beta_schedule("cosine", 50, cosine_s=8e-3)
+
+    # unsharded reference
+    cond = pack_cond(lms, pan, wav)
+    ns = NoiseScheduleVP("discrete", betas=betas)
+
+    def x0_model(xx, t_input):
+        return model.apply({"params": params}, xx, t_input, cond,
+                           train=False)
+
+    model_fn = model_wrapper(x0_model, ns, model_type="x_start")
+    solver = DPMSolver(model_fn, ns, algorithm_type="dpmsolver++",
+                       correcting_x0_fn=lambda x0, t: jnp.clip(x0, -1, 1))
+    xT = jax.random.normal(key, lms.shape)
+    ref = jnp.clip(solver.sample(xT, steps=4, order=2, method="multistep",
+                                 skip_type="time_uniform") + lms, 0.0, 1.0)
+
+    mesh = make_mesh(8)
+    sample = make_sharded_dpm_sampler(model, mesh, betas, steps=4, order=2)
+    out = sample(params, key, pan, lms, wav)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)

@@ -26,7 +26,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=24)  # best of {4,16,24,32}
     p.add_argument("--size", type=int, default=256)
-    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--steps", type=int, default=None,
+                   help="NFE; default per sampler (dpm: 20, ddim: 25)")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--channels", type=int, default=8)
     p.add_argument("--dtype", type=str, default="bf16",
@@ -35,9 +36,13 @@ def main():
                    help="use the fused Pallas GN+Swish / FWM kernels")
     p.add_argument("--sampler", default="dpm", choices=["dpm", "ddim"],
                    help="dpm = 20-step DPM-Solver++ (the headline metric); "
-                        "ddim = the eval protocol's DDIM respacing of a "
-                        "cosine T=500 schedule (--steps NFE, default 25)")
+                        "ddim = the eval protocol's DDIM (cosine T=NFE, "
+                        "identity ddim respacing — exactly what "
+                        "train/eval.py, serve and the reference test_fn "
+                        "run; --steps NFE, default 25)")
     args = p.parse_args()
+    if args.steps is None:
+        args.steps = 25 if args.sampler == "ddim" else 20
 
     import jax
     import jax.numpy as jnp
@@ -85,12 +90,15 @@ def main():
         from difpan_tpu.diffusion import (DiffusionConfig, respace,
                                           schedule_from_betas,
                                           ddim_sample_loop)
-        nfe = args.steps if args.steps != 20 else 25
+        # the eval protocol (train/eval.py, serve.py, reference test_fn)
+        # builds a cosine T=NFE schedule and respaces it to ddim{NFE} — an
+        # identity respacing; bench the same trajectory, not a T=500 respace
+        nfe = args.steps
         dcfg = DiffusionConfig(channels=c, pred_mode="x_start",
                                loss_type="l1", clamp_range=(0.0, 1.0),
                                self_condition=True)
         sched_re, _ = respace(schedule_from_betas(
-            make_beta_schedule("cosine", 500, cosine_s=8e-3)), f"ddim{nfe}")
+            make_beta_schedule("cosine", nfe, cosine_s=8e-3)), f"ddim{nfe}")
 
         @jax.jit
         def run(key):

@@ -68,8 +68,16 @@ def _add_test(sub):
                    default=True, help="serve/eval raw (non-EMA) params")
     p.add_argument("--n-shards", type=int, default=1,
                    help="shard eval batches over this many devices")
+    p.add_argument("--spatial-shard", type=int, default=1,
+                   help="shard image ROWS over this many devices (exact "
+                        "H-sharded UNet, auto-padded — for single images "
+                        "beyond one chip's HBM, e.g. 1000x1000 Harvard "
+                        "full-res); composes with --n-shards on a 2-D "
+                        "data x space mesh")
     p.add_argument("--tile", type=int, default=None,
-                   help="overlap-tile size for huge full-res images")
+                   help="overlap-tile size for huge full-res images "
+                        "(feather-blended approximation; prefer "
+                        "--spatial-shard for exact math)")
     # model knobs must match the trained checkpoint
     p.add_argument("--inner-channel", type=int, default=32)
     p.add_argument("--res-blocks", type=int, default=3)
@@ -108,6 +116,9 @@ def _add_serve(sub):
     p.add_argument("--pred-var", action="store_true",
                    help="checkpoint was trained with the learned-variance "
                         "head (2C-channel UNet output)")
+    p.add_argument("--spatial-shard", type=int, default=0,
+                   help="serve with the exact H-sharded sampler over this "
+                        "many devices (beyond-HBM single images)")
     return p
 
 
@@ -202,8 +213,16 @@ def cmd_test(args):
 
     spec = get_dataset_spec(args.dataset)
     model, params = _build_model_and_params(args, spec)
-    mesh = None
-    if args.n_shards > 1:
+    mesh, spatial_axis = None, None
+    if args.spatial_shard > 1 and args.n_shards > 1:
+        from .parallel import make_mesh_2d
+        mesh = make_mesh_2d(args.n_shards, args.spatial_shard)
+        spatial_axis = "space"
+    elif args.spatial_shard > 1:
+        from .parallel import make_mesh
+        mesh = make_mesh(args.spatial_shard, axis_name="space")
+        spatial_axis = "space"
+    elif args.n_shards > 1:
         from .parallel import make_mesh
         mesh = make_mesh(args.n_shards)
     with h5py.File(args.data, "r") as d:
@@ -213,7 +232,7 @@ def cmd_test(args):
         n_steps=args.n_steps, section_counts=args.section_counts,
         batch_size=args.batch_size, save_mat_path=args.save_mat,
         save_png_dir=args.save_png_dir, model=model, tile=args.tile,
-        mesh=mesh, pred_var=args.pred_var)
+        mesh=mesh, spatial_axis=spatial_axis, pred_var=args.pred_var)
     print(metrics)
 
 
@@ -226,7 +245,7 @@ def cmd_serve(args):
     service = SamplerService(
         params, args.dataset, model=model, n_steps=args.n_steps,
         section_counts=args.section_counts, dtype=args.dtype,
-        pred_var=args.pred_var)
+        pred_var=args.pred_var, space_shards=args.spatial_shard)
     print(f"serving {args.dataset} sampler on "
           f"http://{args.host}:{args.port}  (POST /sample, GET /healthz)")
     serve(service, port=args.port, host=args.host)

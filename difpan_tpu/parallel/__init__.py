@@ -1,5 +1,6 @@
 from .mesh import (
     make_mesh,
+    make_mesh_2d,
     batch_sharding,
     replicated_sharding,
     shard_batch,

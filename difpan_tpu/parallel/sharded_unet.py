@@ -215,34 +215,47 @@ def make_sharded_unet_forward(model, mesh, axis_name: str = "data",
                 lvl -= 1
         return tuple(enc), tuple(dec)
 
-    spat = P(None, axis_name, None, None)
+    # dp x sp composition: any mesh axis other than `axis_name` shards the
+    # batch dim (e.g. a ("data", "space") mesh from make_mesh_2d — batch
+    # over `data`, image rows over `space`). The collectives inside `body`
+    # name only `axis_name`, so halo/psum/gather stay within each data row.
+    other_axes = [a for a in mesh.axis_names if a != axis_name]
+    batch_axis = other_axes[0] if other_axes else None
+    spat = P(batch_axis, axis_name, None, None)
+    repl = P()                       # params: replicated over the full mesh
+    bsp = P(batch_axis)              # batch-sharded, otherwise replicated
     sharded_body = shard_map(
         body, mesh=mesh,
-        in_specs=(P(), spat, P(), (spat,) * num_mults, (spat,) * num_mults),
+        in_specs=(repl, spat, bsp, (spat,) * num_mults, (spat,) * num_mults),
         out_specs=spat)
     # cached variant: pyramids already folded into the caches
     sharded_body_cached = shard_map(
         lambda pr, x, te, ec, dc: body(pr, x, te, None, None, ec, dc),
         mesh=mesh,
-        in_specs=(P(), spat, P(), spat, P()),
+        in_specs=(repl, spat, bsp, spat, bsp),
         out_specs=spat)
     sharded_cond_cache = shard_map(
         cond_cache_body, mesh=mesh,
-        in_specs=(P(), (spat,) * num_mults, (spat,) * num_mults),
-        out_specs=(spat, P()))
+        in_specs=(repl, (spat,) * num_mults, (spat,) * num_mults),
+        out_specs=(spat, bsp))
+
+    space_size = (mesh.shape[axis_name] if axis_name in mesh.shape
+                  else mesh.size)
 
     def check_h(h):
         # H must split into equal slabs that stay even through every
         # stride-2 stage; fail fast with the actual requirement instead of
         # an obscure shape mismatch deep in the decoder. Images that don't
-        # satisfy it (e.g. 1000px on 8 devices) should be padded to the
-        # next multiple (or use `spatial.tiled_sample`).
-        need = mesh.size * 2 ** (num_mults - 1)
+        # satisfy it (e.g. 1000px on 8 devices) are handled by the
+        # samplers' auto-pad (pad_to_shardable) or `spatial.tiled_sample`.
+        need = space_size * 2 ** (num_mults - 1)
         if h % need != 0:
             raise ValueError(
-                f"H={h} must be divisible by mesh_size * "
-                f"2^(num_stages-1) = {mesh.size} * "
-                f"{2 ** (num_mults - 1)} = {need} for H-sharded execution")
+                f"H={h} must be divisible by mesh['{axis_name}'] * "
+                f"2^(num_stages-1) = {space_size} * "
+                f"{2 ** (num_mults - 1)} = {need} for H-sharded execution "
+                "(the sharded samplers auto-pad; for the raw forward pad "
+                "the input yourself)")
 
     def fn(params, x, t, cond):
         check_h(x.shape[1])
@@ -268,7 +281,41 @@ def make_sharded_unet_forward(model, mesh, axis_name: str = "data",
     fn.body_cached = sharded_body_cached
     fn.t_embedding = t_embedding
     fn.check_h = check_h
+    fn.need_h = space_size * 2 ** (num_mults - 1)
+    fn.need_w = 2 ** (num_mults - 1)
+    fn.batch_axis = batch_axis
+    fn.batch_size_mult = (mesh.shape[batch_axis]
+                          if batch_axis is not None else 1)
     return jax.jit(fn) if jit else fn
+
+
+def _pad_for_sharding(inner, pan, lms, wavelets):
+    """Edge-pad (B, H, W) so the exact H-sharded path accepts arbitrary
+    sizes (e.g. 1000x1000 Harvard full-res on 8 devices -> pad H to 1024):
+    B to a multiple of the mesh's batch axis (repeat last sample), H to
+    `mesh[space] * 2^(stages-1)` and W to `2^(stages-1)` (edge replicate;
+    wavelets are half-res so their pads are halved — H and W must be even,
+    the Haar DWT's own requirement). Returns padded arrays + the original
+    (b, h, w) to crop the result back to.
+    """
+    b, h, w = lms.shape[:3]
+    if h % 2 or w % 2:
+        raise ValueError(f"H and W must be even (DWT input), got {h}x{w}")
+    pb = -b % inner.batch_size_mult
+    ph = -h % inner.need_h
+    pw = -w % inner.need_w
+
+    def pad(a, ph_, pw_):
+        if pb:
+            a = jnp.concatenate(
+                [a, jnp.repeat(a[-1:], pb, axis=0)], axis=0)
+        if ph_ or pw_:
+            a = jnp.pad(a, ((0, 0), (0, ph_), (0, pw_), (0, 0)),
+                        mode="edge")
+        return a
+
+    return (pad(pan, ph, pw), pad(lms, ph, pw),
+            pad(wavelets, ph // 2, pw // 2), (b, h, w))
 
 
 def make_sharded_sampler(model, mesh, dcfg, sched_respaced,
@@ -279,7 +326,11 @@ def make_sharded_sampler(model, mesh, dcfg, sched_respaced,
     (the exact-math alternative to `spatial.tiled_sample`).
 
     Returns `sample(params, key, pan, lms, wavelets) -> sr in [0,1]`
-    (eval protocol: `sr = clip(sample + lms, 0, 1)`).
+    (eval protocol: `sr = clip(sample + lms, 0, 1)`). Arbitrary (even)
+    H/W/batch are accepted: inputs are edge-padded to the mesh-divisible
+    shape and the result cropped back (the reference's 1000x1000 Harvard
+    workload, `/root/reference/diffusion_engine.py:373-377`, pads to 1024
+    on an 8-way space axis).
     """
     from ..data.loader import pack_cond
     from ..diffusion import ddim_sample_loop
@@ -287,7 +338,8 @@ def make_sharded_sampler(model, mesh, dcfg, sched_respaced,
     inner = make_sharded_unet_forward(model, mesh, axis_name, jit=False)
 
     def sample(params, key, pan, lms, wavelets):
-        inner.check_h(lms.shape[1])
+        pan, lms, wavelets, (b0, h0, w0) = _pad_for_sharding(
+            inner, pan, lms, wavelets)
         cond = pack_cond(lms, pan, wavelets)
         # loop-invariant cond features (CSM scale/shift slabs, FWM context
         # matrices incl. their psums) hoisted OUT of the sampling scan —
@@ -302,7 +354,7 @@ def make_sharded_sampler(model, mesh, dcfg, sched_respaced,
             return inner.body_cached(params, x, t_emb, enc_cache, dec_cache)
 
         s = ddim_sample_loop(dcfg, sched_respaced, model_fn, key, cond)
-        return jnp.clip(s + lms, 0.0, 1.0)
+        return jnp.clip(s + lms, 0.0, 1.0)[:b0, :h0, :w0]
 
     return jax.jit(sample)
 
@@ -315,6 +367,8 @@ def make_sharded_dpm_sampler(model, mesh, betas, *, steps: int = 20,
     beyond-HBM image gets the reduced-NFE sampler too.
 
     Returns `sample(params, key, pan, lms, wavelets) -> sr in [0,1]`.
+    Arbitrary (even) H/W/batch are accepted via the same edge-pad + crop as
+    `make_sharded_sampler`.
     """
     from ..data.loader import pack_cond
     from ..solvers import DPMSolver, NoiseScheduleVP, model_wrapper
@@ -323,7 +377,8 @@ def make_sharded_dpm_sampler(model, mesh, betas, *, steps: int = 20,
     ns = NoiseScheduleVP("discrete", betas=betas)
 
     def sample(params, key, pan, lms, wavelets):
-        inner.check_h(lms.shape[1])
+        pan, lms, wavelets, (b0, h0, w0) = _pad_for_sharding(
+            inner, pan, lms, wavelets)
         cond = pack_cond(lms, pan, wavelets)
         enc_pyr, dec_pyr = inner.pyramids(cond)
         enc_cache, dec_cache = inner.cond_cache(params, enc_pyr, dec_pyr)
@@ -339,6 +394,6 @@ def make_sharded_dpm_sampler(model, mesh, betas, *, steps: int = 20,
         xT = jax.random.normal(key, lms.shape)
         s = solver.sample(xT, steps=steps, order=order, method="multistep",
                           skip_type="time_uniform")
-        return jnp.clip(s + lms, 0.0, 1.0)
+        return jnp.clip(s + lms, 0.0, 1.0)[:b0, :h0, :w0]
 
     return jax.jit(sample)

@@ -24,10 +24,16 @@ from __future__ import annotations
 
 import io
 import json
+import logging
+import queue
 import threading
+import time
+import traceback
 from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
+
+log = logging.getLogger("difpan.serve")
 
 import jax
 import jax.numpy as jnp
@@ -68,6 +74,10 @@ class SamplerService:
         max_compiled_shapes: int = 8,
         seed: int = 0,
         pred_var: bool = False,
+        microbatch: bool = True,
+        batch_window_ms: float = 3.0,
+        max_merged_batch: int = 32,
+        space_shards: int = 0,
     ):
         self.spec = get_dataset_spec(dataset_name)
         self.pred_var = pred_var
@@ -91,6 +101,19 @@ class SamplerService:
         self._max_shapes = max_compiled_shapes
         self._lock = threading.Lock()
         self._key = jax.random.PRNGKey(seed)
+        # micro-batching: concurrent same-shape requests merge into one
+        # padded device batch instead of serializing N sampling programs
+        self._microbatch = microbatch
+        self._batch_window_s = batch_window_ms / 1000.0
+        self._max_merged = max_merged_batch
+        self._queue: "queue.Queue" = queue.Queue()
+        self._batcher_started = False
+        # exact H-sharded sampling over `space_shards` devices (beyond-HBM
+        # single images; non-divisible sizes auto-padded + cropped)
+        self._space_mesh = None
+        if space_shards > 0:
+            from .parallel import make_mesh
+            self._space_mesh = make_mesh(space_shards, axis_name="space")
 
     def _default_model(self) -> UNetSR3DWT:
         # per-dataset eval config (`diffusion_engine.py:371-393`)
@@ -139,7 +162,13 @@ class SamplerService:
         with self._lock:
             fn = self._compiled.get(shape)
             if fn is None:
-                fn = jax.jit(self._sample_fn())
+                if self._space_mesh is not None:
+                    from .parallel import make_sharded_sampler
+                    fn = make_sharded_sampler(
+                        self.model, self._space_mesh, self.dcfg,
+                        self.sched_re, axis_name="space")
+                else:
+                    fn = jax.jit(self._sample_fn())
                 self._compiled[shape] = fn
                 while len(self._compiled) > self._max_shapes:
                     self._compiled.popitem(last=False)
@@ -196,11 +225,118 @@ class SamplerService:
         with self._lock:
             return list(self._compiled.keys())
 
+    def warmup(self, batch: int = 1, height: int = 64, width: int = 64
+               ) -> Tuple[int, int, int]:
+        """Compile (and touch) the sampling program for a request shape
+        before real traffic arrives. Returns the pooled compiled shape."""
+        b = _round_up_batch(batch)
+        c, p = self.spec.n_channels, self.spec.pan_channels
+        pan = np.zeros((b, height, width, p), np.float32)
+        lms = np.zeros((b, height, width, c), np.float32)
+        self.sample(pan, lms, seed=0)
+        return (b, height, width)
+
+    # -- micro-batching ------------------------------------------------------
+
+    class _Pending:
+        __slots__ = ("pan", "lms", "wavelets", "event", "result", "error")
+
+        def __init__(self, pan, lms, wavelets):
+            self.pan, self.lms, self.wavelets = pan, lms, wavelets
+            self.event = threading.Event()
+            self.result = None
+            self.error: Optional[BaseException] = None
+
+    def _ensure_batcher(self):
+        with self._lock:
+            if not self._batcher_started:
+                t = threading.Thread(target=self._batcher_loop, daemon=True,
+                                     name="difpan-microbatcher")
+                t.start()
+                self._batcher_started = True
+
+    def _batcher_loop(self):
+        while True:
+            item = self._queue.get()
+            items = [item]
+            # linger a short window to let concurrent requests pile up
+            deadline = time.monotonic() + self._batch_window_s
+            while sum(p.pan.shape[0] for p in items) < self._max_merged:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    items.append(self._queue.get(timeout=timeout))
+                except queue.Empty:
+                    break
+            # merge per spatial shape (different shapes compile differently)
+            groups: Dict[Tuple[int, int], List] = {}
+            for p in items:
+                groups.setdefault(p.pan.shape[1:3], []).append(p)
+            for group in groups.values():
+                # greedy-pack into chunks <= max_merged so merging never
+                # compiles an oversized one-off batch shape
+                chunk: List = []
+                total = 0
+                for p in group:
+                    n = p.pan.shape[0]
+                    if chunk and total + n > self._max_merged:
+                        self._run_group(chunk)
+                        chunk, total = [], 0
+                    chunk.append(p)
+                    total += n
+                if chunk:
+                    self._run_group(chunk)
+
+    def _run_group(self, group: List["_Pending"]):
+        try:
+            pan = np.concatenate([p.pan for p in group], axis=0)
+            lms = np.concatenate([p.lms for p in group], axis=0)
+            wav = np.concatenate([p.wavelets for p in group], axis=0)
+            sr = self.sample(pan, lms, wav)
+            off = 0
+            for p in group:
+                n = p.pan.shape[0]
+                p.result = sr[off:off + n]
+                off += n
+        except BaseException as e:  # noqa: BLE001 — delivered to waiters
+            for p in group:
+                p.error = e
+        finally:
+            for p in group:
+                p.event.set()
+
+    def submit(self, pan: np.ndarray, lms: np.ndarray,
+               wavelets: Optional[np.ndarray] = None,
+               seed: Optional[int] = None) -> np.ndarray:
+        """Like :meth:`sample`, but concurrent submits of the same spatial
+        shape merge into one padded device batch (the serving entry point).
+
+        Requests with an explicit ``seed`` bypass the merger: per-request
+        determinism requires a dedicated sampling program.
+        """
+        if not self._microbatch or seed is not None:
+            return self.sample(pan, lms, wavelets, seed=seed)
+        pan = np.asarray(pan, np.float32)
+        lms = np.asarray(lms, np.float32)
+        if pan.ndim == 3:
+            pan = pan[..., None]
+        if wavelets is None:
+            wavelets = self._wavelets_host(pan, lms)
+        wavelets = np.asarray(wavelets, np.float32)
+        self._ensure_batcher()
+        item = self._Pending(pan, lms, wavelets)
+        self._queue.put(item)
+        item.event.wait()
+        if item.error is not None:
+            raise item.error
+        return item.result
+
 
 # -- HTTP layer -------------------------------------------------------------
 
 
-def _make_handler(service: SamplerService):
+def _make_handler(service: SamplerService, max_body_bytes: int):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
             pass
@@ -221,6 +357,20 @@ def _make_handler(service: SamplerService):
                     "compiled": [list(s) for s in
                                  service.compiled_shapes()],
                 })
+            elif self.path.startswith("/warmup"):
+                # GET /warmup?batch=4&h=64&w=64 — compile ahead of traffic
+                from urllib.parse import parse_qs, urlparse
+                q = parse_qs(urlparse(self.path).query)
+
+                def qi(name, default):
+                    return int(q[name][0]) if name in q else default
+                try:
+                    shape = service.warmup(qi("batch", 1), qi("h", 64),
+                                           qi("w", 64))
+                    self._json(200, {"status": "warm", "shape": list(shape)})
+                except Exception:
+                    log.exception("warmup failed")
+                    self._json(500, {"error": "warmup failed (see log)"})
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -228,16 +378,30 @@ def _make_handler(service: SamplerService):
             if self.path != "/sample":
                 self._json(404, {"error": "unknown path"})
                 return
+            n = int(self.headers.get("Content-Length", "0"))
+            if n > max_body_bytes:
+                # drain in bounded chunks (O(1) memory) so the client's
+                # write doesn't die on a broken pipe before it can read
+                # the 413
+                left = n
+                while left > 0:
+                    left -= len(self.rfile.read(min(left, 1 << 20)))
+                self._json(413, {"error": f"body too large ({n} bytes > "
+                                          f"{max_body_bytes} limit)"})
+                return
             try:
-                n = int(self.headers.get("Content-Length", "0"))
                 data = np.load(io.BytesIO(self.rfile.read(n)),
                                allow_pickle=False)
                 seed = (int(self.headers["X-Seed"])
                         if "X-Seed" in self.headers else None)
-                sr = service.sample(
-                    data["pan"], data["lms"],
-                    data["wavelets"] if "wavelets" in data.files else None,
-                    seed=seed)
+                pan, lms = data["pan"], data["lms"]
+                wav = data["wavelets"] if "wavelets" in data.files else None
+            except Exception as e:  # malformed request — client's fault
+                self._json(400, {"error": f"bad request: "
+                                          f"{type(e).__name__}: {e}"})
+                return
+            try:
+                sr = service.submit(pan, lms, wav, seed=seed)
                 buf = io.BytesIO()
                 np.savez_compressed(buf, sr=sr)
                 body = buf.getvalue()
@@ -246,21 +410,25 @@ def _make_handler(service: SamplerService):
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
-            except Exception as e:  # surface the error to the client
-                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception:  # internal — log server-side, don't leak
+                log.error("sample failed:\n%s", traceback.format_exc())
+                self._json(500, {"error": "internal error (see server log)"})
 
     return Handler
 
 
 def serve(service: SamplerService, port: int = 8500, host: str = "127.0.0.1",
-          *, block: bool = True) -> ThreadingHTTPServer:
+          *, block: bool = True,
+          max_body_mb: float = 256.0) -> ThreadingHTTPServer:
     """Start the HTTP server; returns it (daemon-threaded when block=False).
 
-    Note: request handling is thread-per-connection but device work is
-    serialized by the service lock + jax dispatch; a single chip serves one
-    sampling program at a time.
+    Request handling is thread-per-connection; concurrent same-shape
+    ``/sample`` requests merge into one padded device batch via the
+    service's micro-batcher. Bodies above ``max_body_mb`` are rejected
+    with 413 (memory-exhaustion guard for non-loopback binds).
     """
-    httpd = ThreadingHTTPServer((host, port), _make_handler(service))
+    httpd = ThreadingHTTPServer(
+        (host, port), _make_handler(service, int(max_body_mb * 1024 * 1024)))
     if block:
         httpd.serve_forever()
     else:

@@ -265,10 +265,10 @@ def train(
         in_shardings=(repl_sh, data_sh, repl_sh),
         out_shardings=((repl_sh, repl_sh, data_sh) if cfg.show_recon
                        else (repl_sh, repl_sh)),
-        # donate the state; also the batch buffers when the recon output can
-        # alias them (donation = input->output aliasing, so an un-aliasable
-        # donation would only warn)
-        donate_argnums=(0, 1) if cfg.show_recon else (0,))
+        # donate the state only: the recon output (B,H,W,C) never aliases
+        # the batch tuple's buffers (pan/wavelets have different shapes), so
+        # donating the batch would just emit "donated buffers not usable"
+        donate_argnums=(0,))
     sample_fn = jax.jit(
         make_sample_fn(cfg, model, dcfg, sched),
         in_shardings=(repl_sh, repl_sh, data_sh, data_sh, data_sh),

@@ -64,6 +64,7 @@ def evaluate(
     tile: Optional[int] = None,
     tile_overlap: int = 32,
     mesh=None,
+    spatial_axis: Optional[str] = None,
     pred_var: bool = False,
 ) -> Dict[str, float]:
     """Run the full eval protocol; returns the averaged metric dict
@@ -74,7 +75,15 @@ def evaluate(
     train-loop validation sampler. `batch_size` must divide evenly by the
     mesh size (padded batches keep one static compiled shape). Metrics are
     computed on host from the gathered result, so they are identical to the
-    single-device run."""
+    single-device run.
+
+    `spatial_axis`: name of a mesh axis to shard image ROWS over — the
+    exact H-sharded UNet path (`parallel/sharded_unet.py`) for single
+    images whose activations exceed one chip's HBM (the reference's
+    1000x1000 Harvard full-res, `diffusion_engine.py:373-377`). Non-
+    divisible sizes are edge-padded and cropped automatically. With a 2-D
+    ("data", "space") mesh (`make_mesh_2d`), batch and rows shard
+    together (dp x sp)."""
     spec = get_dataset_spec(dataset_name)
     division = spec.division if division is None else division
     _print = logger.print if logger is not None else print
@@ -115,7 +124,14 @@ def evaluate(
         s = ddim_sample_loop(dcfg, sched_re, model_fn, key, cond)
         return jnp.clip(s + lms, 0.0, 1.0)
 
-    if mesh is not None:
+    if mesh is not None and spatial_axis is not None:
+        from ..parallel import make_sharded_sampler
+        assert spatial_axis in mesh.axis_names, (
+            f"spatial_axis {spatial_axis!r} not in mesh axes "
+            f"{mesh.axis_names}")
+        sample = make_sharded_sampler(model, mesh, dcfg, sched_re,
+                                      axis_name=spatial_axis)
+    elif mesh is not None:
         from ..parallel import batch_sharding, replicated_sharding
         assert batch_size % mesh.size == 0, (
             f"batch_size {batch_size} must be divisible by mesh size "

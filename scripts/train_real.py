@@ -1,0 +1,154 @@
+"""Long training run past the EMA start iteration (VERDICT r2 item 1).
+
+Runs the real engine (`difpan_tpu/train/engine.py`) at the reference
+training config (`/root/reference/diffusion_engine.py:52-76,183-209`:
+batch 128, 64px, cosine T=3000, AdamW 1e-4, EMA decay 0.995 starting at
+iteration 20k) on a synthetic WV3-shaped dataset, far enough past the EMA
+start that the decay phase actually executes (0.995^6000 ~ 1e-13, i.e. the
+EMA fully forgets the pre-20k copy).
+
+Artifacts (all under --out):
+  scalars.jsonl   every logged train loss {step, loss, it_per_s}
+  valid.jsonl     every validation {step, metrics..., ema_l2, lr}
+  weights/        orbax checkpoint (params+opt+EMA+step), saved each valid
+  samples/        valid-sample PNG grids from the engine
+
+Auto-resumes from weights/ if a checkpoint exists (the run survives tunnel
+hiccups; just relaunch).
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/train_real.py \
+      --iters 26000 --out runs/real_train
+  python scripts/train_real.py --smoke        # tiny CPU sanity check
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=26_000)
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--n-train", type=int, default=4096)
+    ap.add_argument("--n-valid", type=int, default=64)
+    ap.add_argument("--valid-every", type=int, default=2500)
+    ap.add_argument("--ema-start", type=int, default=20_000)
+    ap.add_argument("--out", default="runs/real_train")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny CPU config to sanity-check the harness")
+    args = ap.parse_args()
+
+    if args.smoke:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        args.iters, args.batch_size = 30, 4
+        args.n_train, args.n_valid = 32, 4
+        args.valid_every, args.ema_start = 10, 15
+        args.out = "/tmp/train_smoke"
+
+    import jax
+    # persistent compile cache (TPU: survives tunnel restarts; CPU smoke:
+    # reuses the test suite's cached train-step programs)
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from difpan_tpu.data.synthetic import make_synthetic_pan_h5
+    from difpan_tpu.train import TrainConfig, train
+    from difpan_tpu.utils.logging import TensorboardLogger
+
+    os.makedirs(args.out, exist_ok=True)
+    scalars_path = os.path.join(args.out, "scalars.jsonl")
+    valid_path = os.path.join(args.out, "valid.jsonl")
+
+    print(f"[train_real] generating synthetic wv3 data "
+          f"(train n={args.n_train}, valid n={args.n_valid})", flush=True)
+    d_train = make_synthetic_pan_h5(n=args.n_train, channels=8, size=64,
+                                    division=2047.0, seed=42)
+    d_valid = make_synthetic_pan_h5(n=args.n_valid, channels=8, size=64,
+                                    division=2047.0, seed=43)
+
+    cfg = TrainConfig(
+        dataset_name="wv3", image_n_channel=8, pan_channel=1,
+        batch_size=args.batch_size, compute_dtype="bfloat16",
+        max_iterations=args.iters, valid_every=args.valid_every,
+        ema_start_iter=args.ema_start,
+        valid_batch_size=min(16, args.n_valid),
+        ckpt_dir=os.path.join(args.out, "weights"),
+        run_dir=os.path.join(args.out, "runs"),
+        samples_dir=os.path.join(args.out, "samples"))
+
+    class JsonlLogger(TensorboardLogger):
+        """Tee scalars into a JSONL the report generator can read."""
+        _t_last = [time.time()]
+
+        def log_scalar(self, tag, value, step):
+            super().log_scalar(tag, value, step)
+            if tag == "denoised_loss":
+                now = time.time()
+                dt = now - self._t_last[0]
+                self._t_last[0] = now
+                rate = cfg.log_every / dt if dt > 0 else 0.0
+                with open(scalars_path, "a") as f:
+                    f.write(json.dumps({"step": step, "loss": float(value),
+                                        "it_per_s": round(rate, 3)}) + "\n")
+
+    def ema_l2(state):
+        d2 = sum(float(jnp.sum((p.astype(jnp.float32) - e) ** 2))
+                 for p, e in zip(jax.tree_util.tree_leaves(state.params),
+                                 jax.tree_util.tree_leaves(state.ema_params)))
+        return float(np.sqrt(d2))
+
+    def on_valid(step, state, acc):
+        rec = {"step": int(step), "ema_l2": ema_l2(state),
+               "ema_phase": "decay" if step > cfg.ema_start_iter else "copy"}
+        rec.update({k: float(v) for k, v in acc.items()})
+        with open(valid_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(f"[train_real] valid@{step}: {rec}", flush=True)
+
+    restore_state = None
+    ckpt_dir = os.path.abspath(cfg.ckpt_dir)
+    if os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
+        from difpan_tpu.train.engine import build_model
+        from difpan_tpu.train.state import create_train_state, make_optimizer
+        from difpan_tpu.utils.checkpoints import restore_checkpoint
+        model = build_model(cfg)
+        tx = make_optimizer(cfg.lr_d, cfg.weight_decay,
+                            grad_clip_norm=cfg.grad_clip_norm)
+        p0 = model.init(
+            {"params": jax.random.PRNGKey(cfg.seed)},
+            jnp.zeros((1, 64, 64, 8)), jnp.array([0]),
+            jnp.zeros((1, 64, 64, 20)), train=False)["params"]
+        restore_state = restore_checkpoint(
+            ckpt_dir, create_train_state(p0, tx))
+        print(f"[train_real] resuming from step "
+              f"{int(restore_state.step)}", flush=True)
+
+    logger = JsonlLogger("real", base_dir=cfg.run_dir)
+    t0 = time.time()
+    state = train(d_train, d_valid, cfg, logger=logger,
+                  restore_state=restore_state, on_valid=on_valid)
+    wall = time.time() - t0
+    final_step = int(jax.device_get(state.step))
+    print(f"[train_real] done: step={final_step} wall={wall/3600:.2f}h "
+          f"ema_l2={ema_l2(state)}", flush=True)
+    with open(os.path.join(args.out, "DONE.json"), "w") as f:
+        json.dump({"final_step": final_step, "wall_h": round(wall / 3600, 3),
+                   "ema_l2": ema_l2(state)}, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -91,3 +91,101 @@ def test_http_round_trip(service):
         assert "error" in json.loads(r.read())
     finally:
         httpd.shutdown()
+
+
+def _make_service(**kw):
+    c, pc = 4, 1
+    model = UNetSR3DWT(
+        in_channel=c, out_channel=c, lms_channel=c, pan_channel=pc,
+        inner_channel=8, norm_groups=1, channel_mults=(1, 2), attn_res=(8,),
+        res_blocks=1, dropout=0.0, image_size=16, self_condition=True)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 16, 16, c)), jnp.array([0]),
+        jnp.zeros((1, 16, 16, 2 * c + 4 * pc)), train=False)["params"]
+    return SamplerService(params, "qb", model=model, n_steps=20,
+                          section_counts="ddim4", **kw)
+
+
+def test_microbatch_merges_concurrent_requests():
+    """Two concurrent seedless submits of the same shape run as ONE merged
+    device batch (shape (2, 16, 16) compiles, (1, ...) never does)."""
+    import threading
+
+    svc = _make_service(batch_window_ms=500.0)
+    results = {}
+
+    def client(name, seed):
+        pan, lms = _batch(1, seed=seed)
+        results[name] = (svc.submit(pan, lms), pan, lms)
+
+    ta = threading.Thread(target=client, args=("a", 10))
+    tb = threading.Thread(target=client, args=("b", 11))
+    ta.start(); tb.start(); ta.join(); tb.join()
+
+    for name in ("a", "b"):
+        sr = results[name][0]
+        assert sr.shape == (1, 16, 16, 4)
+        assert np.all(sr >= 0) and np.all(sr <= 1)
+    # different inputs -> different outputs (each client got its own slice)
+    assert not np.allclose(results["a"][0], results["b"][0])
+    shapes = svc.compiled_shapes()
+    assert (2, 16, 16) in shapes, shapes
+    assert (1, 16, 16) not in shapes, shapes
+
+
+def test_submit_with_seed_bypasses_merger_and_is_deterministic():
+    svc = _make_service()
+    pan, lms = _batch(2, seed=3)
+    a = svc.submit(pan, lms, seed=9)
+    b = svc.submit(pan, lms, seed=9)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, svc.sample(pan, lms, seed=9))
+
+
+def test_http_concurrent_clients_and_warmup():
+    """Two simultaneous HTTP clients get correct per-client results; the
+    warmup endpoint pre-compiles a shape; oversized bodies get 413."""
+    import threading
+
+    svc = _make_service(batch_window_ms=300.0)
+    httpd = serve(svc, port=0, block=False, max_body_mb=1.0)
+    port = httpd.server_address[1]
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("GET", "/warmup?batch=2&h=16&w=16")
+        r = conn.getresponse()
+        body = json.loads(r.read())
+        assert r.status == 200 and body["status"] == "warm"
+        assert (2, 16, 16) in svc.compiled_shapes()
+
+        out = {}
+
+        def client(name, seed):
+            c2 = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+            pan, lms = _batch(1, seed=seed)
+            buf = io.BytesIO()
+            np.savez_compressed(buf, pan=pan, lms=lms)
+            c2.request("POST", "/sample", body=buf.getvalue())
+            rr = c2.getresponse()
+            assert rr.status == 200, rr.read()
+            out[name] = np.load(io.BytesIO(rr.read()))["sr"]
+            c2.close()
+
+        ta = threading.Thread(target=client, args=("a", 20))
+        tb = threading.Thread(target=client, args=("b", 21))
+        ta.start(); tb.start(); ta.join(); tb.join()
+        assert out["a"].shape == out["b"].shape == (1, 16, 16, 4)
+        assert not np.allclose(out["a"], out["b"])
+
+        # body cap: >1 MB rejected with 413, server stays alive
+        big = np.zeros((1, 512, 512, 4), np.float32)
+        buf = io.BytesIO()
+        np.savez(buf, pan=big[..., :1], lms=big)
+        conn.request("POST", "/sample", body=buf.getvalue())
+        r = conn.getresponse()
+        assert r.status == 413
+        conn.request("GET", "/healthz")
+        assert conn.getresponse().status == 200
+    finally:
+        httpd.shutdown()

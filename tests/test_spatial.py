@@ -247,3 +247,135 @@ def test_sharded_dpm_sampler_matches_unsharded():
     out = sample(params, key, pan, lms, wav)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_sharded_sampler_autopad_harvard_rows():
+    """Non-divisible H auto-pads and crops (VERDICT r2 item 2): a 1000-row
+    Harvard-shaped image samples on the 8-device mesh — inputs edge-padded
+    to H=1008 (= 8 * 2^(stages-1) multiple) inside the sampler — and
+    matches the unsharded sampler run on identically padded inputs."""
+    from difpan_tpu.diffusion import (DiffusionConfig, make_beta_schedule,
+                                      respace, schedule_from_betas,
+                                      ddim_sample_loop)
+    from difpan_tpu.models import UNetSR3DWT
+    from difpan_tpu.parallel import make_mesh, make_sharded_sampler
+    from difpan_tpu.data.loader import pack_cond
+
+    c, pc = 4, 1
+    model = UNetSR3DWT(
+        in_channel=c, out_channel=c, lms_channel=c, pan_channel=pc,
+        inner_channel=8, norm_groups=1, channel_mults=(1, 2), attn_res=(),
+        res_blocks=1, dropout=0.0, image_size=32, self_condition=True)
+    B, H, W = 1, 1000, 16   # Harvard full-res row count
+    key = jax.random.PRNGKey(23)
+    pan = jax.random.uniform(jax.random.PRNGKey(24), (B, H, W, pc))
+    lms = jax.random.uniform(jax.random.PRNGKey(25), (B, H, W, c))
+    wav = jax.random.uniform(jax.random.PRNGKey(26),
+                             (B, H // 2, W // 2, c + 3 * pc))
+    params = model.init(
+        {"params": jax.random.PRNGKey(27)}, lms[:, :32, :16],
+        jnp.array([0]), jnp.zeros((B, 32, 16, 2 * c + 4 * pc)),
+        train=False)["params"]
+
+    dcfg = DiffusionConfig(channels=c, pred_mode="x_start", loss_type="l1",
+                           clamp_range=(0.0, 1.0), self_condition=True)
+    sched_re, _ = respace(schedule_from_betas(
+        make_beta_schedule("cosine", 10, cosine_s=8e-3)), "ddim2")
+
+    mesh = make_mesh(8)
+    sample = make_sharded_sampler(model, mesh, dcfg, sched_re)
+    out = sample(params, key, pan, lms, wav)
+    assert out.shape == (B, H, W, c)   # cropped back
+
+    # unsharded reference on the SAME edge-padded inputs, cropped the same
+    ph = 1008 - H
+    pad = lambda a, p: jnp.pad(a, ((0, 0), (0, p), (0, 0), (0, 0)),
+                               mode="edge")
+    pan_p, lms_p, wav_p = pad(pan, ph), pad(lms, ph), pad(wav, ph // 2)
+    cond = pack_cond(lms_p, pan_p, wav_p)
+
+    def model_fn(x, t, cc, sc, k):
+        return model.apply({"params": params}, x, t, cond, sc, train=False)
+
+    ref = jnp.clip(ddim_sample_loop(dcfg, sched_re, model_fn, key, cond)
+                   + lms_p, 0.0, 1.0)[:, :H]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_dp_sp_2d_mesh_sampler_matches_unsharded():
+    """dp x sp on ONE mesh (VERDICT r2 item 3): a (4 data x 2 space) mesh
+    samples a batch of 4 H-sharded images; numerics match the unsharded
+    sampler (batch shards over `data`, rows over `space`)."""
+    from difpan_tpu.diffusion import (DiffusionConfig, make_beta_schedule,
+                                      respace, schedule_from_betas,
+                                      ddim_sample_loop)
+    from difpan_tpu.models import UNetSR3DWT
+    from difpan_tpu.parallel import make_mesh_2d, make_sharded_sampler
+    from difpan_tpu.data.loader import pack_cond
+
+    c, pc = 4, 1
+    model = UNetSR3DWT(
+        in_channel=c, out_channel=c, lms_channel=c, pan_channel=pc,
+        inner_channel=8, norm_groups=1, channel_mults=(1, 2), attn_res=(8,),
+        res_blocks=1, dropout=0.0, image_size=32, self_condition=True)
+    B, H, W = 4, 32, 16
+    key = jax.random.PRNGKey(33)
+    pan = jax.random.uniform(jax.random.PRNGKey(34), (B, H, W, pc))
+    lms = jax.random.uniform(jax.random.PRNGKey(35), (B, H, W, c))
+    wav = jax.random.uniform(jax.random.PRNGKey(36),
+                             (B, H // 2, W // 2, c + 3 * pc))
+    params = model.init(
+        {"params": jax.random.PRNGKey(37)}, lms, jnp.array([0]),
+        jnp.zeros((B, H, W, 2 * c + 4 * pc)), train=False)["params"]
+
+    dcfg = DiffusionConfig(channels=c, pred_mode="x_start", loss_type="l1",
+                           clamp_range=(0.0, 1.0), self_condition=True)
+    sched_re, _ = respace(schedule_from_betas(
+        make_beta_schedule("cosine", 20, cosine_s=8e-3)), "ddim3")
+
+    cond = pack_cond(lms, pan, wav)
+
+    def model_fn(x, t, cc, sc, k):
+        return model.apply({"params": params}, x, t, cond, sc, train=False)
+
+    ref = jnp.clip(ddim_sample_loop(dcfg, sched_re, model_fn, key, cond)
+                   + lms, 0.0, 1.0)
+
+    mesh = make_mesh_2d(4, 2)
+    sample = make_sharded_sampler(model, mesh, dcfg, sched_re,
+                                  axis_name="space")
+    out = sample(params, key, pan, lms, wav)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_dp_sp_2d_mesh_dpm_sampler_runs():
+    """DPM-Solver++ on the 2-D mesh with a non-divisible batch AND height:
+    batch 3 pads to 4 (data axis), H=28 pads to 32 (space axis * stages)."""
+    from difpan_tpu.diffusion import make_beta_schedule
+    from difpan_tpu.models import UNetSR3DWT
+    from difpan_tpu.parallel import make_mesh_2d, make_sharded_dpm_sampler
+
+    c, pc = 4, 1
+    model = UNetSR3DWT(
+        in_channel=c, out_channel=c, lms_channel=c, pan_channel=pc,
+        inner_channel=8, norm_groups=1, channel_mults=(1, 2), attn_res=(),
+        res_blocks=1, dropout=0.0, image_size=32, self_condition=True)
+    B, H, W = 3, 28, 16
+    pan = jax.random.uniform(jax.random.PRNGKey(44), (B, H, W, pc))
+    lms = jax.random.uniform(jax.random.PRNGKey(45), (B, H, W, c))
+    wav = jax.random.uniform(jax.random.PRNGKey(46),
+                             (B, H // 2, W // 2, c + 3 * pc))
+    params = model.init(
+        {"params": jax.random.PRNGKey(47)}, lms[:, :16], jnp.array([0]),
+        jnp.zeros((B, 16, W, 2 * c + 4 * pc)), train=False)["params"]
+    betas = make_beta_schedule("cosine", 50, cosine_s=8e-3)
+
+    mesh = make_mesh_2d(4, 2)
+    sample = make_sharded_dpm_sampler(model, mesh, betas, steps=3, order=2,
+                                      axis_name="space")
+    out = sample(params, jax.random.PRNGKey(48), pan, lms, wav)
+    assert out.shape == (B, H, W, c)
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert np.all(np.asarray(out) >= 0) and np.all(np.asarray(out) <= 1)

@@ -6,4 +6,6 @@ from .mesh import (
     shard_batch,
 )
 from .sharded_unet import (make_sharded_unet_forward, make_sharded_sampler,
-                           make_sharded_dpm_sampler)
+                           make_sharded_dpm_sampler,
+                           make_sharded_train_forward,
+                           make_sharded_train_step)

@@ -124,14 +124,51 @@ def make_sharded_unet_forward(model, mesh, axis_name: str = "data",
         return noise_mlp.apply({"params": p}, t)
 
     def body(params, x, t_emb, cond_enc_pyr, cond_dec_pyr,
-             enc_cache=None, dec_cache=None):
+             enc_cache=None, dec_cache=None, self_cond=None, drop_key=None):
         enc_it = iter(enc_cache) if enc_cache is not None else None
         dec_it = iter(dec_cache) if dec_cache is not None else None
-        # head conv with the self-cond fold (self_cond defaults to x)
+        # train-mode stochasticity, two streams:
+        #  * elementwise dropout — masks fold BOTH mesh coordinates
+        #    (independent per slab is fine, elements are iid);
+        #  * FWM FFN DropPath — a per-SAMPLE mask, so its key folds the
+        #    batch coordinate ONLY: every H-shard of one sample must agree
+        #    on whether the branch is dropped.
+        el_key = dp_key = None
+        if drop_key is not None:
+            el_key = jax.random.fold_in(
+                drop_key, jax.lax.axis_index(axis_name))
+            dp_key = jax.random.fold_in(drop_key, 0x5eed)
+            if batch_axis is not None:
+                bidx = jax.lax.axis_index(batch_axis)
+                el_key = jax.random.fold_in(el_key, bidx)
+                dp_key = jax.random.fold_in(dp_key, bidx)
+        blk_counter = [0]
+        fwm_counter = [0]
+
+        def drop_kw():
+            if el_key is None:
+                return {}
+            k = jax.random.fold_in(el_key, blk_counter[0])
+            blk_counter[0] += 1
+            return {"dropout": model.dropout, "key": k}
+
+        def fwm_kw():
+            # decoder blocks hardcode DropPath 0.2 on the FWM FFN
+            # (`models/sr3_dwt.py` ResnetBlocWithAttn decoder path)
+            if dp_key is None:
+                return {}
+            k = jax.random.fold_in(dp_key, fwm_counter[0])
+            fwm_counter[0] += 1
+            return {"drop_path": 0.2, "drop_path_key": k}
+
         kh = params["head_conv"]["conv"]["kernel"]
         c_in = x.shape[-1]
-        if model.self_condition:
+        if model.self_condition and self_cond is None:
+            # eval/sampler contract: self_cond defaults to x -> fold the
+            # two kernel halves into one conv
             kh = kh[:, :, :c_in] + kh[:, :, c_in:]
+        elif model.self_condition:
+            x = jnp.concatenate([x, self_cond], axis=-1)
         x = sharded_conv3x3(x, kh, axis_name,
                             bias=params["head_conv"]["conv"]["bias"])
 
@@ -147,7 +184,7 @@ def make_sharded_unet_forward(model, mesh, axis_name: str = "data",
                     cached=(next(enc_it) if enc_it is not None
                             else None))
                 x = sharded_resnet_block(p["res_block"], x, t_emb, axis_name,
-                                  groups)
+                                  groups, **drop_kw())
                 if enc_attn[ind]:
                     x = _self_attention(p["attn"], x, axis_name, groups)
                 feats.append(x)
@@ -161,10 +198,10 @@ def make_sharded_unet_forward(model, mesh, axis_name: str = "data",
                 lvl += 1
 
         x = sharded_resnet_block(params["mid_0"]["res_block"], x, t_emb, axis_name,
-                          groups)
+                          groups, **drop_kw())
         x = _self_attention(params["mid_0"]["attn"], x, axis_name, groups)
         x = sharded_resnet_block(params["mid_1"]["res_block"], x, t_emb, axis_name,
-                          groups)
+                          groups, **drop_kw())
 
         for ind in reversed(range(num_mults)):
             for blk in range(res_blocks + 1):
@@ -175,9 +212,9 @@ def make_sharded_unet_forward(model, mesh, axis_name: str = "data",
                     None if dec_it is not None else cond_dec_pyr[lvl],
                     axis_name, groups,
                     cached=(next(dec_it) if dec_it is not None
-                            else None))
+                            else None), **fwm_kw())
                 x = sharded_resnet_block(p["res_block"], x, t_emb, axis_name,
-                                  groups)
+                                  groups, **drop_kw())
                 if dec_attn[ind]:
                     x = _self_attention(p["attn"], x, axis_name, groups)
             if ind >= 1:
@@ -238,6 +275,26 @@ def make_sharded_unet_forward(model, mesh, axis_name: str = "data",
         cond_cache_body, mesh=mesh,
         in_specs=(repl, (spat,) * num_mults, (spat,) * num_mults),
         out_specs=(spat, bsp))
+    # train-mode variant: explicit self_cond slab (p_losses passes the
+    # stop-gradient x0 estimate, not x) + dropout key; cond features are
+    # computed inline so gradients flow through the CSM/FWM branches
+    sharded_body_train = shard_map(
+        lambda pr, x, sc, te, dk, ep, dp: body(pr, x, te, ep, dp,
+                                               self_cond=sc, drop_key=dk),
+        mesh=mesh,
+        in_specs=(repl, spat, spat, bsp, repl,
+                  (spat,) * num_mults, (spat,) * num_mults),
+        out_specs=spat)
+    # deterministic train variant (no dropout/DropPath): explicit
+    # self_cond, gradients through the cond branches — for exact parity
+    # checks and evaluation of the train graph
+    sharded_body_train_det = shard_map(
+        lambda pr, x, sc, te, ep, dp: body(pr, x, te, ep, dp,
+                                           self_cond=sc),
+        mesh=mesh,
+        in_specs=(repl, spat, spat, bsp,
+                  (spat,) * num_mults, (spat,) * num_mults),
+        out_specs=spat)
 
     space_size = (mesh.shape[axis_name] if axis_name in mesh.shape
                   else mesh.size)
@@ -279,6 +336,8 @@ def make_sharded_unet_forward(model, mesh, axis_name: str = "data",
     fn.pyramids = pyramids
     fn.cond_cache = sharded_cond_cache
     fn.body_cached = sharded_body_cached
+    fn.body_train = sharded_body_train
+    fn.body_train_det = sharded_body_train_det
     fn.t_embedding = t_embedding
     fn.check_h = check_h
     fn.need_h = space_size * 2 ** (num_mults - 1)
@@ -397,3 +456,83 @@ def make_sharded_dpm_sampler(model, mesh, betas, *, steps: int = 20,
         return jnp.clip(s + lms, 0.0, 1.0)[:b0, :h0, :w0]
 
     return jax.jit(sample)
+
+
+def make_sharded_train_forward(model, mesh, axis_name: str = "space"):
+    """Train-mode H-sharded UNet forward: dropout active (per-shard
+    decorrelated masks), explicit self_cond input (p_losses' stop-gradient
+    x0 estimate), cond features computed inline so gradients flow through
+    the CSM/FWM injection branches.
+
+    Returns `fn(params, x, t, cond, self_cond, key)` (unjitted — embed in
+    a train step). This lifts spatial parallelism from sampling to
+    TRAINING: beyond-HBM images can be trained on directly (the reference
+    trains at 64px only, `/root/reference/diffusion_engine.py:183-209`, so
+    this is capability beyond it).
+    """
+    inner = make_sharded_unet_forward(model, mesh, axis_name, jit=False)
+
+    def fn(params, x, t, cond, self_cond, key):
+        inner.check_h(x.shape[1])
+        t_emb = inner.t_embedding(params["noise_level_mlp"], t)
+        enc_pyr, dec_pyr = inner.pyramids(cond)
+        if key is None:  # deterministic: no dropout/DropPath
+            return inner.body_train_det(params, x, self_cond, t_emb,
+                                        enc_pyr, dec_pyr)
+        return inner.body_train(params, x, self_cond, t_emb, key,
+                                enc_pyr, dec_pyr)
+
+    fn.inner = inner
+    return fn
+
+
+def make_sharded_train_step(cfg, model, dcfg, sched, tx, mesh,
+                            axis_name: str = "space", *,
+                            stochastic: bool = True):
+    """H-sharded training step: `p_losses` (q_sample + self-cond coin +
+    loss) at the jit level driving the shard_map'd train-mode UNet forward
+    — grads/optimizer/EMA identical to the dp step in `train/engine.py`
+    (`make_train_step`), but each image's rows live across the mesh so a
+    single training example may exceed one chip's HBM. On a 2-D
+    ("data", "space") mesh the batch shards over `data` at the same time.
+
+    Returns `(state, batch, key) -> (state, loss)`, to be wrapped in
+    `jax.jit` (donate state).
+
+    `stochastic=False` disables dropout AND the FWM DropPath (the
+    unsharded decoder hardcodes DropPath 0.2 in train mode, so exact
+    loss-parity checks against an unsharded step need both sides
+    deterministic — per-shard RNG streams cannot reproduce flax's global
+    mask order bit-for-bit).
+    """
+    import optax
+
+    from ..data.loader import pack_cond
+    from ..diffusion import p_losses
+    from ..train.state import TrainState, ema_update
+
+    fwd = make_sharded_train_forward(model, mesh, axis_name)
+
+    def train_step(state, batch, key):
+        pan, lms, gt, wavelets = batch
+        cond = pack_cond(lms, pan, wavelets)
+        res = gt - lms
+
+        def loss_fn(params):
+            def model_fn(x, t, c, sc, k):
+                return fwd(params, x, t, cond, sc,
+                           k if stochastic else None)
+
+            loss, recon = p_losses(dcfg, sched, model_fn, key, res, cond)
+            return loss, recon
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = ema_update(params, state.ema_params, state.step,
+                         decay=cfg.ema_decay, start_iter=cfg.ema_start_iter)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state, ema_params=ema), loss
+
+    return train_step

@@ -70,7 +70,12 @@ def sharded_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray, axis_name: str,
 def sharded_softmax_h(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     """Softmax along the GLOBAL H axis (axis 1) of an H-sharded slab:
     cross-shard max (`pmax`) and normalizer (`psum`), local exp."""
-    m = jax.lax.pmax(jnp.max(x, axis=1, keepdims=True), axis_name)
+    # the max shift is purely for numerical stability (softmax is shift
+    # invariant) — stop_gradient it, both because its cotangent is zero
+    # anyway (jax.nn.softmax does the same) and because pmax has no
+    # differentiation rule (train-mode sharded forward)
+    m = jax.lax.pmax(
+        jnp.max(jax.lax.stop_gradient(x), axis=1, keepdims=True), axis_name)
     e = jnp.exp(x - m)
     s = jax.lax.psum(jnp.sum(e, axis=1, keepdims=True), axis_name)
     return e / s
@@ -100,25 +105,35 @@ def sharded_groupnorm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     return xn.reshape(b, h, w, c) * scale + bias
 
 
-def sharded_block(p, x, axis_name: str, groups: int = 1) -> jnp.ndarray:
-    """`models/common.py:Block` (GN -> Swish -> conv3x3) on an H-slab
-    (eval mode: no dropout). `p` is the flax param subtree of a Block."""
+def sharded_block(p, x, axis_name: str, groups: int = 1, *,
+                  dropout: float = 0.0, key=None) -> jnp.ndarray:
+    """`models/common.py:Block` (GN -> Swish -> (Dropout) -> conv3x3) on an
+    H-slab. `p` is the flax param subtree of a Block. Dropout (train mode)
+    applies when `dropout > 0` and `key` is given; the caller is expected
+    to have folded the shard's axis_index into `key` so masks are
+    independent across slabs (flax semantics: keep-prob scaling)."""
     h = sharded_groupnorm(x, p["norm"]["scale"], p["norm"]["bias"], groups,
                           axis_name)
     h = _swish(h)
+    if dropout > 0.0 and key is not None:
+        keep = 1.0 - dropout
+        mask = jax.random.bernoulli(key, keep, h.shape)
+        h = jnp.where(mask, h / keep, 0.0)
     return sharded_conv3x3(h, p["conv"]["conv"]["kernel"], axis_name,
                            bias=p["conv"]["conv"]["bias"])
 
 
-def sharded_resnet_block(p, x, t_emb, axis_name: str,
-                         groups: int = 1) -> jnp.ndarray:
+def sharded_resnet_block(p, x, t_emb, axis_name: str, groups: int = 1, *,
+                         dropout: float = 0.0, key=None) -> jnp.ndarray:
     """`models/common.py:ResnetBlock` on an H-slab: two Blocks + time-FiLM
-    add + skip conv. `p` is the param subtree of a ResnetBlock."""
+    add + skip conv. `p` is the param subtree of a ResnetBlock. Dropout
+    sits in block2 only, mirroring the unsharded module."""
     h = sharded_block(p["block1"], x, axis_name, groups)
     film = (t_emb @ p["noise_func"]["noise_func"]["dense"]["kernel"]
             + p["noise_func"]["noise_func"]["dense"]["bias"])
     h = h + film[:, None, None, :]
-    h = sharded_block(p["block2"], h, axis_name, groups)
+    h = sharded_block(p["block2"], h, axis_name, groups,
+                      dropout=dropout, key=key)
     if "res_conv" in p:
         x = jnp.einsum("bhwi,io->bhwo", x,
                        p["res_conv"]["conv"]["kernel"][0, 0]) \
@@ -158,13 +173,21 @@ def sharded_cond_injection(p, x, cond, axis_name: str, groups: int = 1, *,
 
 def sharded_fwm_injection(p, x, cond, axis_name: str, groups: int = 1,
                           nheads: int = 8, *, cached=None,
-                          cond_only: bool = False):
+                          cond_only: bool = False,
+                          drop_path: float = 0.0, drop_path_key=None):
     """FastAttnCondInjection (FWM) on H-slabs (`models/sr3_dwt.py`):
     q softmax over GLOBAL H (`sharded_softmax_h`), k softmax over the local
     W axis, c x c context summed over ALL pixels via psum.
 
     The k/v branch and the context depend only on cond: `cond_only=True`
     returns the (replicated, psum'd) context matrix, `cached=` consumes it.
+
+    Train mode: `drop_path` + `drop_path_key` enable the FFN stochastic
+    depth (DropPath 0.2 in the unsharded decoder blocks). The mask is
+    per-SAMPLE, so the caller must pass a key that is identical on every
+    H-shard of the same sample (fold the batch axis index only, never the
+    space axis) — otherwise different slabs of one image would drop
+    differently.
     """
     import math as _math
 
@@ -215,6 +238,11 @@ def sharded_fwm_injection(p, x, cond, axis_name: str, groups: int = 1,
     ffn = jax.nn.silu(ffn)
     ffn = sharded_conv3x3(ffn, p["ffn_conv2"]["conv"]["kernel"], axis_name)
     ffn = _conv1x1_p(p["ffn_conv3"], ffn)
+    if drop_path > 0.0 and drop_path_key is not None:
+        keep = 1.0 - drop_path
+        mask = jax.random.bernoulli(drop_path_key, keep,
+                                    (ffn.shape[0], 1, 1, 1))
+        ffn = ffn * mask.astype(ffn.dtype) / keep
     return ffn + attn_out
 
 

@@ -379,3 +379,106 @@ def test_dp_sp_2d_mesh_dpm_sampler_runs():
     assert out.shape == (B, H, W, c)
     assert np.all(np.isfinite(np.asarray(out)))
     assert np.all(np.asarray(out) >= 0) and np.all(np.asarray(out) <= 1)
+
+
+def _tiny_train_setup(dropout):
+    from difpan_tpu.train.engine import (TrainConfig, build_diffusion,
+                                         build_model)
+    from difpan_tpu.train.state import create_train_state, make_optimizer
+
+    cfg = TrainConfig(
+        dataset_name="qb", image_n_channel=4, pan_channel=1, image_size=32,
+        n_steps=20, batch_size=2, inner_channel=8, channel_mults=(1, 2),
+        attn_res=(8,), res_blocks=1, dropout=dropout, ema_start_iter=1,
+        self_condition=True)
+    model = build_model(cfg)
+    dcfg, sched = build_diffusion(cfg)
+    tx = make_optimizer(cfg.lr_d, cfg.weight_decay,
+                        grad_clip_norm=cfg.grad_clip_norm)
+    B, H, W = 2, 32, 16
+    rngs = [jax.random.PRNGKey(i) for i in range(60, 64)]
+    pan = jax.random.uniform(rngs[0], (B, H, W, 1))
+    lms = jax.random.uniform(rngs[1], (B, H, W, 4))
+    gt = jnp.clip(lms + 0.1 * jax.random.normal(rngs[2], (B, H, W, 4)),
+                  0, 1)
+    wav = jax.random.uniform(rngs[3], (B, H // 2, W // 2, 7))
+    params = model.init(
+        {"params": jax.random.PRNGKey(70)}, lms, jnp.array([0]),
+        jnp.zeros((B, H, W, 12)), train=False)["params"]
+    state = create_train_state(params, tx)
+    return cfg, model, dcfg, sched, tx, state, (pan, lms, gt, wav)
+
+
+def test_sharded_train_step_matches_dp_loss():
+    """Train-mode H-sharding (VERDICT r2 item 7): the shard_map'd train
+    step (explicit self-cond + gradients through the inline cond branches
+    + optimizer + EMA) reproduces an unsharded train step — same loss and
+    same updated params. Both sides run deterministically (dropout 0,
+    stochastic=False): the decoder's hardcoded DropPath 0.2 draws from
+    flax's global rng stream, which per-shard streams cannot reproduce
+    bit-for-bit, so stochastic parity is distributional, not exact."""
+    import optax
+    from difpan_tpu.data.loader import pack_cond
+    from difpan_tpu.diffusion import p_losses
+    from difpan_tpu.parallel import make_mesh, make_sharded_train_step
+    from difpan_tpu.train.state import TrainState, ema_update
+
+    cfg, model, dcfg, sched, tx, state, batch = _tiny_train_setup(0.0)
+    key = jax.random.PRNGKey(99)
+
+    def ref_step(state, batch, key):
+        # the sharded step's structure with the plain unsharded forward
+        pan, lms, gt, wavelets = batch
+        cond = pack_cond(lms, pan, wavelets)
+        res = gt - lms
+
+        def loss_fn(params):
+            def model_fn(x, t, c, sc, k):
+                return model.apply({"params": params}, x, t, cond, sc,
+                                   train=False)
+            return p_losses(dcfg, sched, model_fn, key, res, cond)
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = ema_update(params, state.ema_params, state.step,
+                         decay=cfg.ema_decay, start_iter=cfg.ema_start_iter)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state, ema_params=ema), loss
+
+    ref_state, ref_loss = jax.jit(ref_step)(state, batch, key)
+
+    mesh = make_mesh(8, axis_name="space")
+    sh_step = jax.jit(make_sharded_train_step(cfg, model, dcfg, sched, tx,
+                                              mesh, axis_name="space",
+                                              stochastic=False))
+    sh_state, sh_loss = sh_step(state, batch, key)
+
+    np.testing.assert_allclose(float(sh_loss), float(ref_loss),
+                               rtol=1e-4, atol=1e-5)
+    assert int(sh_state.step) == int(ref_state.step) == 1
+    flat_ref = jax.tree_util.tree_leaves(ref_state.params)
+    flat_sh = jax.tree_util.tree_leaves(sh_state.params)
+    for a, b in zip(flat_ref, flat_sh):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-5)
+
+
+def test_sharded_train_step_with_dropout_runs():
+    """Dropout-active sharded training: loss finite, params move, EMA
+    follows (per-shard decorrelated masks can't match the flax global
+    mask bit-for-bit, so this checks execution + sanity, not equality)."""
+    from difpan_tpu.parallel import make_mesh, make_sharded_train_step
+
+    cfg, model, dcfg, sched, tx, state, batch = _tiny_train_setup(0.2)
+    mesh = make_mesh(8, axis_name="space")
+    sh_step = jax.jit(make_sharded_train_step(cfg, model, dcfg, sched, tx,
+                                              mesh, axis_name="space"))
+    st1, loss1 = sh_step(state, batch, jax.random.PRNGKey(1))
+    st2, loss2 = sh_step(st1, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+    assert int(st2.step) == 2
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    p2 = jax.tree_util.tree_leaves(st2.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p2))

@@ -34,6 +34,10 @@ def main():
                    choices=["f32", "bf16"])
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas GN+Swish / FWM kernels")
+    p.add_argument("--fp8-attn", action="store_true",
+                   help="e4m3-quantized Q/K/V in the flash-attention path "
+                        "(active at >=512px where attention runs on 4096 "
+                        "tokens)")
     p.add_argument("--sampler", default="dpm", choices=["dpm", "ddim"],
                    help="dpm = 20-step DPM-Solver++ (the headline metric); "
                         "ddim = the eval protocol's DDIM (cosine T=NFE, "
@@ -57,7 +61,8 @@ def main():
         in_channel=c, out_channel=c, lms_channel=c, pan_channel=pc,
         inner_channel=32, norm_groups=1, channel_mults=(1, 2, 2, 4),
         attn_res=(8,), res_blocks=3, dropout=0.2, image_size=64,
-        self_condition=True, use_pallas=args.pallas)
+        self_condition=True, use_pallas=args.pallas,
+        fp8_attn=args.fp8_attn)
 
     rng = jax.random.PRNGKey(0)
     b, s = args.batch, args.size

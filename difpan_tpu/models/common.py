@@ -310,6 +310,11 @@ class SelfAttention(nn.Module):
     # query chunks bounds peak memory at O(HW * chunk). Both keep softmax
     # rows complete.
     chunk_tokens: int = 512
+    # e4m3-quantized Q/K/V in the flash path: halves the operand HBM
+    # traffic (and runs the dots at fp8 rate on fp8-native MXUs); softmax
+    # and accumulation stay f32 in VMEM. Opt-in — see PERF.md for the
+    # measured numerics/throughput trade.
+    fp8: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -323,8 +328,9 @@ class SelfAttention(nn.Module):
         tokens = h * w
         if (tokens > self.chunk_tokens and tokens % 256 == 0
                 and jax.default_backend() in ("tpu", "axon")):
-            from ..ops.pallas import flash_attention
-            out = flash_attention(q, k, v, 1.0 / math.sqrt(c))
+            from ..ops.pallas import flash_attention, fp8_flash_attention
+            attn_fn = fp8_flash_attention if self.fp8 else flash_attention
+            out = attn_fn(q, k, v, 1.0 / math.sqrt(c))
             out = out.reshape(b, h, w, c)
         elif tokens > self.chunk_tokens and tokens % self.chunk_tokens == 0:
             n_ch = tokens // self.chunk_tokens

@@ -308,6 +308,7 @@ class ResnetBlocWithAttn(nn.Module):
     with_attn: bool = False
     encoder: bool = True
     use_pallas: bool = False
+    fp8_attn: bool = False
 
     @nn.compact
     def __call__(self, x, time_emb, cond=None, *, train: bool = False,
@@ -361,7 +362,7 @@ class ResnetBlocWithAttn(nn.Module):
             x, time_emb, train=train, time_cached=time_cached)
         if self.with_attn:
             x = SelfAttention(n_head=8, norm_groups=self.norm_groups,
-                              name="attn")(x)
+                              fp8=self.fp8_attn, name="attn")(x)
         return x
 
 
@@ -393,6 +394,7 @@ class UNetSR3DWT(nn.Module):
     fourier_step: int = 1
     pred_var: bool = False
     use_pallas: bool = False
+    fp8_attn: bool = False   # e4m3 Q/K/V in the flash-attention path
 
     @nn.compact
     def __call__(self, x, time, cond=None, self_cond=None, *,
@@ -466,19 +468,20 @@ class UNetSR3DWT(nn.Module):
                 dim_out=cm, cond_dim=enc_cond_dim,
                 norm_groups=self.norm_groups, dropout=self.dropout,
                 with_attn=ua, encoder=True, use_pallas=self.use_pallas,
-                name=f"down_{ind}_{blk}")
+                fp8_attn=self.fp8_attn, name=f"down_{ind}_{blk}")
             for (ind, blk, cm, ua) in enc_specs}
         dec_mods = {
             (ind, blk): ResnetBlocWithAttn(
                 dim_out=cm, cond_dim=dec_cond_dim,
                 norm_groups=self.norm_groups, dropout=self.dropout,
                 with_attn=ua, encoder=False, use_pallas=self.use_pallas,
-                name=f"up_{ind}_{blk}")
+                fp8_attn=self.fp8_attn, name=f"up_{ind}_{blk}")
             for (ind, blk, cm, ua, _) in dec_specs}
         mid0 = ResnetBlocWithAttn(
             dim_out=mid_channel, norm_groups=self.norm_groups,
             dropout=self.dropout, with_attn=True,
-            use_pallas=self.use_pallas, name="mid_0")
+            use_pallas=self.use_pallas, fp8_attn=self.fp8_attn,
+            name="mid_0")
         mid1 = ResnetBlocWithAttn(
             dim_out=mid_channel, norm_groups=self.norm_groups,
             dropout=self.dropout, with_attn=False,

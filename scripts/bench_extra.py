@@ -1,0 +1,53 @@
+"""Non-headline benchmark sweep -> BENCH_EXTRA.json (VERDICT r2 item 9).
+
+The driver snapshot records only bench.py's 256px DPM default; this runs
+the same harness over the other configs that PERF.md quotes so regressions
+in them are visible round-over-round:
+
+  * 512px DPM-Solver++ (batch 8 — the measured sweet spot)
+  * DDIM-25 protocol mode (the eval protocol's trajectory)
+  * 512px with the fp8 flash-attention path (e4m3 Q/K/V)
+
+Usage (TPU, ~3 compiles — run in background):
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_extra.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CONFIGS = [
+    {"name": "dpm20_512px_b8", "args": ["--size", "512", "--batch", "8"]},
+    {"name": "ddim25_protocol_256px_b24", "args": ["--sampler", "ddim"]},
+    {"name": "dpm20_512px_b8_fp8attn",
+     "args": ["--size", "512", "--batch", "8", "--fp8-attn"]},
+]
+
+
+def main():
+    results = {}
+    for cfg in CONFIGS:
+        cmd = [sys.executable, os.path.join(HERE, "bench.py")] + cfg["args"]
+        print(f"[bench_extra] {cfg['name']}: {' '.join(cmd)}", flush=True)
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=3600, cwd=HERE)
+            line = [l for l in out.stdout.strip().splitlines()
+                    if l.startswith("{")][-1]
+            results[cfg["name"]] = json.loads(line)
+        except Exception as e:  # record the failure, keep sweeping
+            results[cfg["name"]] = {"error": f"{type(e).__name__}: {e}"}
+        print(f"[bench_extra] -> {results[cfg['name']]}", flush=True)
+    path = os.path.join(HERE, "BENCH_EXTRA.json")
+    with open(path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"[bench_extra] wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

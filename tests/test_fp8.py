@@ -1,0 +1,81 @@
+"""fp8 (e4m3) flash-attention numerics (`ops/pallas/flash_attention.py`):
+quantized Q/K/V with f32 softmax/accumulation vs the dense reference.
+Runs the kernel in interpret mode on CPU; the same code path compiles via
+Mosaic on TPU (PERF.md records on-device numbers)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from difpan_tpu.ops.pallas import flash_attention, fp8_flash_attention
+
+
+def _dense_attention(q, k, v, scale):
+    s = jnp.einsum("bqnd,bknd->bnqk", q, k) * scale
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+    return jnp.einsum("bnqk,bknd->bqnd", p, v.astype(jnp.float32)
+                      ).astype(q.dtype)
+
+
+def _qkv(b=1, n=512, h=4, d=16, seed=0, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    return tuple(jax.random.normal(kk, (b, n, h, d), dtype) for kk in ks)
+
+
+def test_fp8_attention_close_to_dense():
+    q, k, v = _qkv()
+    scale = 1.0 / np.sqrt(64)
+    ref = _dense_attention(q, k, v, scale)
+    out = fp8_flash_attention(q, k, v, scale, interpret=True)
+    # e4m3 has 3 mantissa bits (~6% per-element worst case); softmax
+    # averaging brings the output error well under that
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    denom = np.abs(np.asarray(ref)) + 1e-3
+    assert np.median(err / denom) < 0.05, np.median(err / denom)
+    assert np.max(err) < 0.35, np.max(err)
+
+
+def test_fp8_attention_tracks_f32_flash():
+    q, k, v = _qkv(seed=3)
+    scale = 1.0 / np.sqrt(64)
+    a = flash_attention(q, k, v, scale, interpret=True)
+    b_ = fp8_flash_attention(q, k, v, scale, interpret=True)
+    # correlation between the fp8 and full-precision outputs stays ~1
+    aa, bb = np.asarray(a).ravel(), np.asarray(b_).ravel()
+    corr = np.corrcoef(aa, bb)[0, 1]
+    assert corr > 0.999, corr
+
+
+def test_fp8_attention_bf16_inputs():
+    q, k, v = _qkv(seed=5, dtype=jnp.bfloat16)
+    scale = 1.0 / np.sqrt(64)
+    out = fp8_flash_attention(q, k, v, scale, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = _dense_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                           v.astype(jnp.float32), scale)
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref))
+    assert np.max(err) < 0.5, np.max(err)
+
+
+def test_fp8_model_flag_runs():
+    """UNetSR3DWT(fp8_attn=True) shares the param tree with the default
+    model (quantization is activation-side, no new params) — CPU falls
+    back to interpret mode inside the kernel gate."""
+    from difpan_tpu.models import UNetSR3DWT
+
+    c, pc = 4, 1
+    kw = dict(in_channel=c, out_channel=c, lms_channel=c, pan_channel=pc,
+              inner_channel=8, norm_groups=1, channel_mults=(1, 2),
+              attn_res=(8,), res_blocks=1, dropout=0.0, image_size=16,
+              self_condition=True)
+    m0 = UNetSR3DWT(**kw)
+    m8 = UNetSR3DWT(**kw, fp8_attn=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, c))
+    t = jnp.array([3])
+    cond = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 2 * c
+                                                     + 4 * pc))
+    p0 = m0.init({"params": jax.random.PRNGKey(2)}, x, t, cond,
+                 train=False)["params"]
+    ref = m0.apply({"params": p0}, x, t, cond, train=False)
+    out = m8.apply({"params": p0}, x, t, cond, train=False)
+    # 16x16 = 256 tokens <= chunk threshold -> same dense path, identical
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)

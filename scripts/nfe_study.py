@@ -1,15 +1,16 @@
 #!/usr/bin/env python
-"""Reduced-NFE sampling quality study (ROADMAP item 2).
+"""Reduced-NFE sampling quality study (ROADMAP item 2 / VERDICT r3 item 1).
 
-With trained weights (the PARITY_E2E harness checkpoint), compare the eval
-protocol's DDIM-25 against DPM-Solver++ multistep at 5/10/15/20 steps on the
-same synthetic WV3 test set: metric quality vs NFE count. The point of the
-study: how far can serving NFE be cut before metrics move, given the solver
-integrates the same cosine-T=500 schedule the protocol uses.
+With trained weights, compare the eval protocol's DDIM-25 (cosine T=25,
+identity ddim25 respacing — exactly what train/eval.py, serve and the
+reference test_fn run) against DPM-Solver++ multistep at 5/10/15/20 steps
+(integrating a cosine T=500 schedule) on a held-out synthetic WV3 test set:
+metric quality vs NFE count. The point: how far can serving NFE be cut
+before metrics move.
 
-Writes NFE_STUDY.md. Needs /tmp/parity_e2e_params.pkl (run
-scripts/parity_protocol_e2e.py once first). Runs on whatever backend jax
-picks (TPU if available).
+Weights: --weights <orbax dir> (the scripts/train_real.py checkpoint; EMA
+params by default) or, absent that, the legacy PARITY_E2E pickle cache
+(/tmp/parity_e2e_params.pkl). Runs on whatever backend jax picks.
 """
 import os
 import pickle
@@ -31,9 +32,15 @@ N_TEST = 8
 
 
 def main():
-    cache = os.environ.get("PARITY_E2E_CACHE", "/tmp/parity_e2e_params.pkl")
-    with open(cache, "rb") as f:
-        params = pickle.load(f)
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--weights", default=None,
+                    help="orbax checkpoint dir (e.g. runs/real_train/weights)")
+    ap.add_argument("--no-ema", dest="use_ema", action="store_false",
+                    default=True)
+    ap.add_argument("--desc", default=None,
+                    help="one-line weight provenance for the report header")
+    args = ap.parse_args()
 
     from difpan_tpu.data import PanDataset, make_synthetic_pan_h5, pack_cond
     from difpan_tpu.diffusion import (DiffusionConfig, ddim_sample_loop,
@@ -47,6 +54,30 @@ def main():
     model = build_model(TrainConfig(
         dataset_name="wv3", image_n_channel=CHANNELS, pan_channel=1,
         image_size=SIZE))
+
+    if args.weights:
+        from difpan_tpu.train.state import create_train_state, make_optimizer
+        from difpan_tpu.utils.checkpoints import restore_checkpoint
+        tx = make_optimizer()
+        p0 = model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, SIZE, SIZE, CHANNELS)), jnp.array([0]),
+            jnp.zeros((1, SIZE, SIZE, 2 * CHANNELS + 4)),
+            train=False)["params"]
+        state = restore_checkpoint(os.path.abspath(args.weights),
+                                   create_train_state(p0, tx))
+        params = state.ema_params if args.use_ema else state.params
+        step = int(state.step)
+        desc = args.desc or (
+            f"orbax checkpoint {args.weights} @ step {step} "
+            f"({'EMA' if args.use_ema else 'raw'} params)")
+    else:
+        cache = os.environ.get("PARITY_E2E_CACHE",
+                               "/tmp/parity_e2e_params.pkl")
+        with open(cache, "rb") as f:
+            params = pickle.load(f)
+        desc = args.desc or ("the PARITY_E2E harness checkpoint (150 "
+                             "iters, synthetic WV3)")
 
     test = make_synthetic_pan_h5(n=N_TEST, channels=CHANNELS, size=SIZE,
                                  division=DIVISION, seed=SEED + 1)
@@ -70,8 +101,10 @@ def main():
     def cache_fn(p):
         return model.apply({"params": p}, None, None, cond, cond_only=True)
 
-    # protocol baseline: DDIM-25
-    sched_re, _ = respace(schedule_from_betas(betas), "ddim25")
+    # protocol baseline: cosine T=25, identity ddim25 respacing — the
+    # trajectory the eval protocol actually samples (NOT a T=500 respace)
+    sched_re, _ = respace(schedule_from_betas(
+        make_beta_schedule("cosine", 25, cosine_s=8e-3)), "ddim25")
 
     @jax.jit
     def run_ddim(p, key):
@@ -86,7 +119,8 @@ def main():
     t0 = time.time()
     s = run_ddim(params, jax.random.PRNGKey(0))
     s.block_until_ready()
-    rows.append(("DDIM-25 (protocol)", 25, metrics_for(s), time.time() - t0))
+    rows.append(("DDIM-25 (protocol, cosine T=25)", 25, metrics_for(s),
+                 time.time() - t0))
     print("ddim25 done", flush=True)
 
     ns = NoiseScheduleVP("discrete", betas=betas)
@@ -119,9 +153,10 @@ def main():
     lines = [
         "# NFE_STUDY — sampling quality vs NFE (trained weights)",
         "",
-        "Weights: the PARITY_E2E harness checkpoint (150 iters, synthetic "
-        "WV3 8-band 64x64, residual x_start objective). Same cosine T=500 "
-        "schedule everywhere; same synthetic test set and x_T seed; "
+        f"Weights: {desc} (synthetic WV3 8-band 64x64, residual x_start "
+        "objective). Baseline: the eval protocol's cosine T=25 identity "
+        "ddim25 respacing; DPM rows integrate a cosine T=500 schedule. "
+        "Held-out synthetic test set, same x_T seed; "
         "`sr=(sample+lms).clip(0,1)`; AnalysisPanAcc metrics.",
         "",
         "| sampler | NFE | " + " | ".join(keys) + " | wall (first run, s) |",

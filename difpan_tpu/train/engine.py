@@ -82,6 +82,13 @@ class TrainConfig:
     recon_every: int = 1_000
     save_valid_images: bool = True   # valid-sample grids + TB images
                                      # (`diffusion_engine.py:303-320`)
+    device_data: bool = False        # keep the FULL train set resident on
+                                     # device and gather each batch there
+                                     # from a (B,) int32 index array — the
+                                     # host sends ~0.5 KB/step instead of
+                                     # ~40 MB of batch data. Needs the set
+                                     # to fit in HBM (WV3-scale: ~1.3 GB)
+                                     # and aug-free batches (pure indexing)
     ckpt_dir: str = "./weights"
     run_dir: str = "./runs"
     samples_dir: str = "./samples"
@@ -259,16 +266,31 @@ def train(
         state = restore_state
     state = jax.device_put(state, repl_sh)
 
-    train_step = jax.jit(
-        make_train_step(cfg, model, dcfg, sched, tx,
-                        with_recon=cfg.show_recon),
-        in_shardings=(repl_sh, data_sh, repl_sh),
-        out_shardings=((repl_sh, repl_sh, data_sh) if cfg.show_recon
-                       else (repl_sh, repl_sh)),
-        # donate the state only: the recon output (B,H,W,C) never aliases
-        # the batch tuple's buffers (pan/wavelets have different shapes), so
-        # donating the batch would just emit "donated buffers not usable"
-        donate_argnums=(0,))
+    step_out_sh = ((repl_sh, repl_sh, data_sh) if cfg.show_recon
+                   else (repl_sh, repl_sh))
+    inner_step = make_train_step(cfg, model, dcfg, sched, tx,
+                                 with_recon=cfg.show_recon)
+    if cfg.device_data:
+        # device-resident data: jit takes (state, full_dataset, idx, key)
+        # and gathers the batch on device — only the index array crosses
+        # the host boundary each step
+        def gather_step(state, data_all, idx, key):
+            return inner_step(state, tuple(a[idx] for a in data_all), key)
+
+        train_step = jax.jit(
+            gather_step,
+            in_shardings=(repl_sh, (repl_sh,) * 4, data_sh, repl_sh),
+            out_shardings=step_out_sh,
+            donate_argnums=(0,))
+    else:
+        train_step = jax.jit(
+            inner_step,
+            in_shardings=(repl_sh, data_sh, repl_sh),
+            out_shardings=step_out_sh,
+            # donate the state only: the recon output (B,H,W,C) never
+            # aliases the batch tuple's buffers (pan/wavelets differ in
+            # shape), so donating the batch would just warn
+            donate_argnums=(0,))
     sample_fn = jax.jit(
         make_sample_fn(cfg, model, dcfg, sched),
         in_shardings=(repl_sh, repl_sh, data_sh, data_sh, data_sh),
@@ -276,10 +298,35 @@ def train(
 
     max_iters = (max_iterations if max_iterations is not None
                  else cfg.max_iterations)
-    it = device_prefetch(
-        batch_iterator(train_data, cfg.batch_size, seed=cfg.seed,
-                       drop_remainder=True),
-        sharding=data_sh)
+    if cfg.device_data:
+        if getattr(train_data, "aug_prob", 0.0):
+            raise ValueError(
+                "device_data gathers batches by pure indexing — host-side "
+                "flip augmentation (aug_prob > 0) would be silently "
+                "dropped; disable one of the two")
+        # one-time full-set transfer; batches gather on device by index
+        full = train_data.batch(np.arange(len(train_data)))
+        data_all = tuple(jax.device_put(jnp.asarray(a), repl_sh)
+                         for a in full)
+        del full
+
+        def _index_iter():
+            # same permutation stream as batch_iterator(shuffle=True,
+            # drop_remainder=True)
+            rng = np.random.default_rng(cfg.seed)
+            n = len(train_data)
+            while True:
+                order = rng.permutation(n)
+                stop = n - n % cfg.batch_size
+                for start in range(0, stop, cfg.batch_size):
+                    yield order[start:start + cfg.batch_size]
+
+        it = (jnp.asarray(ix, jnp.int32) for ix in _index_iter())
+    else:
+        it = device_prefetch(
+            batch_iterator(train_data, cfg.batch_size, seed=cfg.seed,
+                           drop_remainder=True),
+            sharding=data_sh)
 
     # host-side iteration counter: reading state.step from the device every
     # iteration would block on the previous step and defeat async dispatch
@@ -289,10 +336,12 @@ def train(
         if step >= max_iters:
             break
         key, step_key = jax.random.split(key)
+        args = ((state, data_all, batch, step_key) if cfg.device_data
+                else (state, batch, step_key))
         if cfg.show_recon:
-            state, loss, recon = train_step(state, batch, step_key)
+            state, loss, recon = train_step(*args)
         else:
-            state, loss = train_step(state, batch, step_key)
+            state, loss = train_step(*args)
         step += 1
 
         if cfg.show_recon and step % cfg.recon_every == 0:

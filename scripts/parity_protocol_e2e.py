@@ -288,10 +288,41 @@ def ours_protocol(test_h5, ema_params, model, init_noise_nhwc=None, seed=0):
 
 
 def main():
+    import argparse
     import pickle
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--weights", default=None,
+                    help="orbax checkpoint dir (e.g. runs/real_train/"
+                         "weights): use its EMA params instead of the "
+                         "quick 150-iter harness training")
+    ap.add_argument("--desc", default=None,
+                    help="one-line weight provenance for the report")
+    args = ap.parse_args()
     train_h5, test_h5 = make_data()
     cache = os.environ.get("PARITY_E2E_CACHE", "/tmp/parity_e2e_params.pkl")
-    if cache and os.path.exists(cache):
+    provenance = None
+    if args.weights:
+        from difpan_tpu.train import TrainConfig
+        from difpan_tpu.train.engine import build_model
+        from difpan_tpu.train.state import create_train_state, make_optimizer
+        from difpan_tpu.utils.checkpoints import restore_checkpoint
+        model = build_model(TrainConfig(
+            dataset_name="wv3", image_n_channel=CHANNELS, pan_channel=1,
+            image_size=SIZE))
+        tx = make_optimizer()
+        p0 = model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, SIZE, SIZE, CHANNELS)), jnp.array([0]),
+            jnp.zeros((1, SIZE, SIZE, 2 * CHANNELS + 4)),
+            train=False)["params"]
+        state = restore_checkpoint(os.path.abspath(args.weights),
+                                   create_train_state(p0, tx))
+        ema_params = jax.device_get(state.ema_params)
+        provenance = args.desc or (
+            f"orbax checkpoint {args.weights} @ step {int(state.step)} "
+            "(EMA params; scripts/train_real.py run)")
+        log(f"loaded {provenance}")
+    elif cache and os.path.exists(cache):
         log(f"loading trained EMA params from {cache} ...")
         with open(cache, "rb") as f:
             ema_params = pickle.load(f)
@@ -326,12 +357,15 @@ def main():
     lines = [
         "# PARITY_E2E — end-to-end metric parity vs the PyTorch reference",
         "",
-        f"Protocol: train difpan_tpu {TRAIN_ITERS} iters (synthetic WV3 "
-        f"8-band, {SIZE}x{SIZE}, T={TRAIN_T}), reverse-convert EMA weights "
-        "(`utils/torch_convert.py:convert_to_reference_state_dict`), run "
-        f"the reference `test_fn` flow (cosine T={T}, ddim25, "
-        "`sr=(sample+lms).clip(0,1)`, AnalysisPanAcc) and ours "
-        "(`train/eval.py:evaluate`) on the same synthetic test h5.",
+        (f"Weights: {provenance}. Protocol: reverse-convert EMA weights "
+         if provenance else
+         f"Protocol: train difpan_tpu {TRAIN_ITERS} iters (synthetic WV3 "
+         f"8-band, {SIZE}x{SIZE}, T={TRAIN_T}), reverse-convert EMA "
+         "weights ")
+        + "(`utils/torch_convert.py:convert_to_reference_state_dict`), run "
+        + f"the reference `test_fn` flow (cosine T={T}, ddim25, "
+        + "`sr=(sample+lms).clip(0,1)`, AnalysisPanAcc) and ours "
+        + "(`train/eval.py:evaluate`) on the same synthetic test h5.",
         "",
         "## A. Deterministic comparison (shared x_T)",
         "",

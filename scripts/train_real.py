@@ -86,6 +86,12 @@ def main():
         max_iterations=args.iters, valid_every=args.valid_every,
         ema_start_iter=args.ema_start,
         valid_batch_size=min(16, args.n_valid),
+        # device-resident train set: the axon tunnel client pins every
+        # host->device transfer in host RAM, so per-step batch transfers
+        # leak ~40 MB/iter (a 26k-iter run OOMs the 125 GB host around
+        # iter 3k). With device_data only a (B,) index array crosses per
+        # step.
+        device_data=True,
         ckpt_dir=os.path.join(args.out, "weights"),
         run_dir=os.path.join(args.out, "runs"),
         samples_dir=os.path.join(args.out, "samples"))

@@ -284,3 +284,46 @@ def test_train_step_pred_var(tmp_path):
              batch[3])
     assert sr.shape == (8, 32, 32, 4)
     assert np.all(np.isfinite(np.asarray(sr)))
+
+
+def test_device_data_training_matches_host_batches(tmp_path):
+    """cfg.device_data gathers batches on device from a resident dataset by
+    index; with aug-free data the index stream mirrors batch_iterator's
+    permutation, so the loss sequence is identical to the host-batch path."""
+    from difpan_tpu.data import PanDataset, make_synthetic_pan_h5
+    from difpan_tpu.train import TrainConfig, train
+
+    d_train = make_synthetic_pan_h5(n=16, channels=4, size=32,
+                                    division=1023.0, seed=7)
+    d_valid = make_synthetic_pan_h5(n=4, channels=4, size=32,
+                                    division=1023.0, seed=8)
+    losses = {}
+    for device_data in (False, True):
+        cfg = TrainConfig(
+            dataset_name="qb", image_n_channel=4, pan_channel=1,
+            image_size=32, n_steps=25, batch_size=8, inner_channel=8,
+            channel_mults=(1, 2), attn_res=(16,), res_blocks=1,
+            dropout=0.0, max_iterations=4, valid_every=100, log_every=1,
+            seed=5, device_data=device_data,
+            ckpt_dir=str(tmp_path / f"w{device_data}"),
+            run_dir=str(tmp_path / f"r{device_data}"),
+            samples_dir=str(tmp_path / f"s{device_data}"))
+
+        captured = []
+
+        class CapLogger:
+            def print(self, *m):
+                pass
+
+            def log_scalar(self, tag, value, step):
+                if tag == "denoised_loss":
+                    captured.append(float(value))
+
+            def log_scalars(self, tag, d, step):
+                pass
+
+        train(dict(d_train), dict(d_valid), cfg, logger=CapLogger())
+        losses[device_data] = captured
+    assert len(losses[True]) == len(losses[False]) == 4
+    np.testing.assert_allclose(losses[True], losses[False],
+                               rtol=1e-5, atol=1e-6)

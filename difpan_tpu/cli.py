@@ -103,9 +103,15 @@ def _add_serve(sub):
     p.add_argument("--port", type=int, default=8500)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--n-steps", type=int, default=25,
-                   help="schedule length (cosine); 25 matches the `test` "
-                        "command and the reference's shipped eval config")
+                   help="NFE: schedule length for ddim (25 matches the "
+                        "`test` command and the reference's shipped eval "
+                        "config) or solver steps for dpm (20 is the "
+                        "headline preset)")
     p.add_argument("--section-counts", default="ddim25")
+    p.add_argument("--sampler", default="ddim", choices=["ddim", "dpm"],
+                   help="ddim = eval protocol; dpm = reduced-NFE "
+                        "DPM-Solver++ serving preset (see NFE_STUDY.md "
+                        "for the quality/NFE trade)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--no-ema", dest="use_ema", action="store_false",
@@ -244,8 +250,9 @@ def cmd_serve(args):
     model, params = _build_model_and_params(args, spec)
     service = SamplerService(
         params, args.dataset, model=model, n_steps=args.n_steps,
-        section_counts=args.section_counts, dtype=args.dtype,
-        pred_var=args.pred_var, space_shards=args.spatial_shard)
+        section_counts=args.section_counts, sampler=args.sampler,
+        dtype=args.dtype, pred_var=args.pred_var,
+        space_shards=args.spatial_shard)
     print(f"serving {args.dataset} sampler on "
           f"http://{args.host}:{args.port}  (POST /sample, GET /healthz)")
     serve(service, port=args.port, host=args.host)

@@ -103,8 +103,9 @@ def _make_service(**kw):
         {"params": jax.random.PRNGKey(0)},
         jnp.zeros((1, 16, 16, c)), jnp.array([0]),
         jnp.zeros((1, 16, 16, 2 * c + 4 * pc)), train=False)["params"]
-    return SamplerService(params, "qb", model=model, n_steps=20,
-                          section_counts="ddim4", **kw)
+    kw.setdefault("n_steps", 20)
+    kw.setdefault("section_counts", "ddim4")
+    return SamplerService(params, "qb", model=model, **kw)
 
 
 def test_microbatch_merges_concurrent_requests():
@@ -189,3 +190,19 @@ def test_http_concurrent_clients_and_warmup():
         assert conn.getresponse().status == 200
     finally:
         httpd.shutdown()
+
+
+def test_dpm_sampler_preset():
+    """sampler="dpm": reduced-NFE DPM-Solver++ serving — correct shapes/
+    range, deterministic under an explicit seed, distinct from the DDIM
+    protocol samples on the same weights."""
+    svc_dpm = _make_service(sampler="dpm", n_steps=4)
+    svc_ddim = _make_service()
+    pan, lms = _batch(2, seed=6)
+    a = svc_dpm.sample(pan, lms, seed=13)
+    b = svc_dpm.sample(pan, lms, seed=13)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (2, 16, 16, 4)
+    assert np.all(a >= 0) and np.all(a <= 1)
+    c = svc_ddim.sample(pan, lms, seed=13)
+    assert not np.allclose(a, c)   # different sampler, different trajectory

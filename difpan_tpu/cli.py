@@ -150,23 +150,13 @@ def cmd_train(args):
         samples_dir=args.samples_dir)
     restore_state = None
     if args.resume:
-        from .train.engine import build_diffusion, build_model
-        from .train.state import create_train_state, make_optimizer
-        from .utils.checkpoints import restore_checkpoint
-        import jax
-        import jax.numpy as jnp
-        model = build_model(cfg)
-        tx = make_optimizer(cfg.lr_d, cfg.weight_decay,
-                            grad_clip_norm=cfg.grad_clip_norm)
-        params = model.init(
-            {"params": jax.random.PRNGKey(cfg.seed)},
-            jnp.zeros((1, cfg.image_size, cfg.image_size,
-                       cfg.image_n_channel)), jnp.array([0]),
-            jnp.zeros((1, cfg.image_size, cfg.image_size,
-                       2 * cfg.image_n_channel + 4 * cfg.pan_channel)),
-            train=False)["params"]
-        restore_state = restore_checkpoint(
-            args.ckpt_dir, create_train_state(params, tx))
+        from .train.engine import build_model
+        from .train.state import make_optimizer
+        from .utils.checkpoints import restore_for_model
+        restore_state = restore_for_model(
+            args.ckpt_dir, build_model(cfg), image_size=cfg.image_size,
+            tx=make_optimizer(cfg.lr_d, cfg.weight_decay,
+                              grad_clip_norm=cfg.grad_clip_norm))
     with h5py.File(args.train_data, "r") as d_train, \
             h5py.File(args.valid_data, "r") as d_valid:
         train(d_train, d_valid, cfg, restore_state=restore_state)
@@ -197,16 +187,8 @@ def _build_model_and_params(args, spec):
                 args.weights, channel_mults=mults,
                 res_blocks=args.res_blocks))
     else:
-        from .train.state import create_train_state, make_optimizer
-        from .utils.checkpoints import restore_checkpoint
-        tx = make_optimizer()
-        p0 = model.init(
-            {"params": jax.random.PRNGKey(0)},
-            jnp.zeros((1, 64, 64, spec.n_channels)), jnp.array([0]),
-            jnp.zeros((1, 64, 64,
-                       2 * spec.n_channels + 4 * spec.pan_channels)),
-            train=False)["params"]
-        state = restore_checkpoint(args.weights, create_train_state(p0, tx))
+        from .utils.checkpoints import restore_for_model
+        state = restore_for_model(args.weights, model)
         params = state.ema_params if args.use_ema else state.params
     return model, params
 

@@ -65,8 +65,16 @@ def make_mesh_2d(n_data: int, n_space: int,
                f"but only {len(devs)} available")
         if strict:
             raise ValueError(msg)
+        # shrink the DATA axis to what exists (the space axis sizes the
+        # H-sharding the caller budgeted for, so it must not change)
+        n_data = len(devs) // n_space
+        if n_data < 1:
+            raise ValueError(msg + f" — cannot even fit one {n_space}-wide "
+                                   "space row")
         import warnings
-        warnings.warn(msg, stacklevel=2)
+        warnings.warn(msg + f" — shrinking to {n_data}x{n_space}",
+                      stacklevel=2)
+        need = n_data * n_space
     devs = devs[:need]
     return Mesh(np.array(devs).reshape(n_data, n_space), tuple(axis_names))
 

@@ -162,6 +162,18 @@ def make_sharded_unet_forward(model, mesh, axis_name: str = "data",
             return {"drop_path": 0.2, "drop_path_key": k}
 
         kh = params["head_conv"]["conv"]["kernel"]
+        # run in the params' compute dtype (bf16 service/train configs):
+        # cast activations at the boundary like flax's promote_dtype does
+        # inside its modules — the raw-kernel convs here require matching
+        # dtypes
+        pdt = kh.dtype
+        x = x.astype(pdt)
+        if self_cond is not None:
+            self_cond = self_cond.astype(pdt)
+        if cond_enc_pyr is not None:
+            cond_enc_pyr = tuple(c.astype(pdt) for c in cond_enc_pyr)
+        if cond_dec_pyr is not None:
+            cond_dec_pyr = tuple(c.astype(pdt) for c in cond_dec_pyr)
         c_in = x.shape[-1]
         if model.self_condition and self_cond is None:
             # eval/sampler contract: self_cond defaults to x -> fold the
@@ -232,6 +244,9 @@ def make_sharded_unet_forward(model, mesh, axis_name: str = "data",
         """The loop-invariant cond features, computed once per sample:
         per-encoder-block (scale, shift) H-slabs and per-decoder-block
         (replicated, psum'd) FWM context matrices."""
+        pdt = params["head_conv"]["conv"]["kernel"].dtype
+        cond_enc_pyr = tuple(c.astype(pdt) for c in cond_enc_pyr)
+        cond_dec_pyr = tuple(c.astype(pdt) for c in cond_dec_pyr)
         enc, dec = [], []
         lvl = 0
         for ind in range(num_mults):
@@ -444,7 +459,11 @@ def make_sharded_dpm_sampler(model, mesh, betas, *, steps: int = 20,
 
         def x0_model(xx, t_input):
             t_emb = inner.t_embedding(params["noise_level_mlp"], t_input)
-            return inner.body_cached(params, xx, t_emb, enc_cache, dec_cache)
+            out = inner.body_cached(params, xx, t_emb, enc_cache, dec_cache)
+            if getattr(model, "pred_var", False):
+                # learned-variance head: the solver consumes the mean half
+                out = jnp.split(out, 2, axis=-1)[0]
+            return out
 
         model_fn = model_wrapper(x0_model, ns, model_type="x_start")
         solver = DPMSolver(
@@ -509,9 +528,11 @@ def make_sharded_train_step(cfg, model, dcfg, sched, tx, mesh,
 
     from ..data.loader import pack_cond
     from ..diffusion import p_losses
+    from ..train.engine import _dtype_casts
     from ..train.state import TrainState, ema_update
 
     fwd = make_sharded_train_forward(model, mesh, axis_name)
+    cast_in, cast_out = _dtype_casts(cfg)
 
     def train_step(state, batch, key):
         pan, lms, gt, wavelets = batch
@@ -519,9 +540,15 @@ def make_sharded_train_step(cfg, model, dcfg, sched, tx, mesh,
         res = gt - lms
 
         def loss_fn(params):
+            # engine parity: bf16 compute params/activations, f32 masters
+            # and diffusion math (`make_train_step`'s _dtype_casts pattern)
+            lp = cast_in(params)
+            ccond = cast_in(cond)
+
             def model_fn(x, t, c, sc, k):
-                return fwd(params, x, t, cond, sc,
-                           k if stochastic else None)
+                out = fwd(lp, cast_in(x), t, ccond, cast_in(sc),
+                          k if stochastic else None)
+                return cast_out(out)
 
             loss, recon = p_losses(dcfg, sched, model_fn, key, res, cond)
             return loss, recon

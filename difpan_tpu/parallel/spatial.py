@@ -131,7 +131,10 @@ def sharded_resnet_block(p, x, t_emb, axis_name: str, groups: int = 1, *,
     h = sharded_block(p["block1"], x, axis_name, groups)
     film = (t_emb @ p["noise_func"]["noise_func"]["dense"]["kernel"]
             + p["noise_func"]["noise_func"]["dense"]["bias"])
-    h = h + film[:, None, None, :]
+    # t_emb may ride in f32 (sinusoidal features) while h is bf16; a raw
+    # add would promote h to f32 and poison downstream raw-kernel convs
+    # (flax modules promote internally, these hand-rolled kernels don't)
+    h = h + film[:, None, None, :].astype(h.dtype)
     h = sharded_block(p["block2"], h, axis_name, groups,
                       dropout=dropout, key=key)
     if "res_conv" in p:

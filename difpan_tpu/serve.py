@@ -103,10 +103,16 @@ class SamplerService:
         self.sampler = sampler
         self.n_steps = n_steps
         self.dpm_order = dpm_order
-        self.sched_re, _ = respace(
-            schedule_from_betas(
-                make_beta_schedule("cosine", n_steps, cosine_s=8e-3)),
-            section_counts)
+        if sampler == "ddim":
+            self.sched_re, _ = respace(
+                schedule_from_betas(
+                    make_beta_schedule("cosine", n_steps, cosine_s=8e-3)),
+                section_counts)
+        else:
+            # dpm mode: n_steps is the solver NFE, not a schedule length —
+            # building the DDIM respacing here would reject e.g.
+            # (n_steps=20, 'ddim25') even though it is never sampled
+            self.sched_re = None
         self.dpm_betas = make_beta_schedule("cosine", 500, cosine_s=8e-3)
         self._compiled: "OrderedDict[Tuple[int, int, int], Any]" = \
             OrderedDict()
@@ -161,6 +167,10 @@ class SamplerService:
                     out = model.apply({"params": params}, cast_in(xx),
                                       t_input, None, train=False,
                                       cond_cache=cache)
+                    if self.pred_var:
+                        # learned-variance head: the solver consumes the
+                        # mean half only (`gaussian.p_losses._mean_part`)
+                        out = jnp.split(out, 2, axis=-1)[0]
                     return out.astype(jnp.float32)
 
                 model_fn = model_wrapper(x0_model, ns, model_type="x_start")
@@ -232,18 +242,28 @@ class SamplerService:
         packed = wavelet_cond_pack(lms_ll, pan_coeffs, order="pan")
         return np.transpose(packed, (0, 2, 3, 1)).astype(np.float32)
 
-    def sample(self, pan: np.ndarray, lms: np.ndarray,
-               wavelets: Optional[np.ndarray] = None,
-               seed: Optional[int] = None) -> np.ndarray:
-        """pan (B,H,W,P), lms (B,H,W,C) in [0,1] -> sr (B,H,W,C) in [0,1]."""
+    def _normalize(self, pan, lms, wavelets):
+        """Shared input normalization for sample()/submit(): f32 arrays,
+        pan channel dim, dataset channel validation, host wavelets when
+        omitted. Idempotent."""
         pan = np.asarray(pan, np.float32)
         lms = np.asarray(lms, np.float32)
         if pan.ndim == 3:
             pan = pan[..., None]
-        n_real = pan.shape[0]
+        if lms.ndim != 4 or lms.shape[-1] != self.spec.n_channels:
+            raise ValueError(
+                f"lms must be (B,H,W,{self.spec.n_channels}) for dataset "
+                f"'{self.spec.name}', got {lms.shape}")
         if wavelets is None:
             wavelets = self._wavelets_host(pan, lms)
-        wavelets = np.asarray(wavelets, np.float32)
+        return pan, lms, np.asarray(wavelets, np.float32)
+
+    def sample(self, pan: np.ndarray, lms: np.ndarray,
+               wavelets: Optional[np.ndarray] = None,
+               seed: Optional[int] = None) -> np.ndarray:
+        """pan (B,H,W,P), lms (B,H,W,C) in [0,1] -> sr (B,H,W,C) in [0,1]."""
+        pan, lms, wavelets = self._normalize(pan, lms, wavelets)
+        n_real = pan.shape[0]
 
         b = _round_up_batch(n_real)
 
@@ -315,10 +335,14 @@ class SamplerService:
                     items.append(self._queue.get(timeout=timeout))
                 except queue.Empty:
                     break
-            # merge per spatial shape (different shapes compile differently)
-            groups: Dict[Tuple[int, int], List] = {}
+            # merge per FULL trailing shape (spatial dims AND channel
+            # counts of all three arrays) — so one malformed request can
+            # only fail its own group, never innocent co-batched clients
+            groups: Dict[Tuple, List] = {}
             for p in items:
-                groups.setdefault(p.pan.shape[1:3], []).append(p)
+                key = (p.pan.shape[1:], p.lms.shape[1:],
+                       p.wavelets.shape[1:])
+                groups.setdefault(key, []).append(p)
             for group in groups.values():
                 # greedy-pack into chunks <= max_merged so merging never
                 # compiles an oversized one-off batch shape
@@ -363,13 +387,7 @@ class SamplerService:
         """
         if not self._microbatch or seed is not None:
             return self.sample(pan, lms, wavelets, seed=seed)
-        pan = np.asarray(pan, np.float32)
-        lms = np.asarray(lms, np.float32)
-        if pan.ndim == 3:
-            pan = pan[..., None]
-        if wavelets is None:
-            wavelets = self._wavelets_host(pan, lms)
-        wavelets = np.asarray(wavelets, np.float32)
+        pan, lms, wavelets = self._normalize(pan, lms, wavelets)
         self._ensure_batcher()
         item = self._Pending(pan, lms, wavelets)
         self._queue.put(item)
@@ -431,7 +449,10 @@ def _make_handler(service: SamplerService, max_body_bytes: int):
                 # the 413
                 left = n
                 while left > 0:
-                    left -= len(self.rfile.read(min(left, 1 << 20)))
+                    got = len(self.rfile.read(min(left, 1 << 20)))
+                    if got == 0:   # client hung up mid-upload — EOF, stop
+                        break
+                    left -= got
                 self._json(413, {"error": f"body too large ({n} bytes > "
                                           f"{max_body_bytes} limit)"})
                 return
@@ -447,7 +468,11 @@ def _make_handler(service: SamplerService, max_body_bytes: int):
                                           f"{type(e).__name__}: {e}"})
                 return
             try:
-                sr = service.submit(pan, lms, wav, seed=seed)
+                try:
+                    sr = service.submit(pan, lms, wav, seed=seed)
+                except ValueError as e:  # input validation — client error
+                    self._json(400, {"error": f"bad request: {e}"})
+                    return
                 buf = io.BytesIO()
                 np.savez_compressed(buf, sr=sr)
                 body = buf.getvalue()

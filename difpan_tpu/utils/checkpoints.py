@@ -90,3 +90,31 @@ def restore_params(path: str, target: Any) -> Any:
         abstract = jax.tree_util.tree_map(
             ocp.utils.to_shape_dtype_struct, jax.device_get(target))
         return ckptr.restore(os.path.abspath(path), abstract)
+
+
+def restore_for_model(ckpt_dir: str, model, *, tx=None, image_size: int = 64
+                      ) -> "TrainState":
+    """Restore a full TrainState for a `UNetSR3DWT`-family model from an
+    orbax dir, building the template (init params + optimizer tree) from
+    the model's own attributes — the one-stop loader the eval/study/parity
+    scripts and CLI share instead of hand-rolling dummy-shape init.
+
+    `tx` defaults to the engine's standard optimizer (`make_optimizer()`);
+    pass the real one if the checkpoint was trained with different
+    hyperparameters AND you intend to keep training (for eval-only use the
+    default is fine — only tree structure matters for restore).
+    """
+    import jax.numpy as jnp
+
+    from ..train.state import create_train_state, make_optimizer
+
+    tx = tx or make_optimizer()
+    c = model.lms_channel
+    cond_ch = 2 * c + 4 * model.pan_channel
+    p0 = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, image_size, image_size, c)), jnp.array([0]),
+        jnp.zeros((1, image_size, image_size, cond_ch)),
+        train=False)["params"]
+    return restore_checkpoint(os.path.abspath(ckpt_dir),
+                              create_train_state(p0, tx))

@@ -56,16 +56,8 @@ def main():
         image_size=SIZE))
 
     if args.weights:
-        from difpan_tpu.train.state import create_train_state, make_optimizer
-        from difpan_tpu.utils.checkpoints import restore_checkpoint
-        tx = make_optimizer()
-        p0 = model.init(
-            {"params": jax.random.PRNGKey(0)},
-            jnp.zeros((1, SIZE, SIZE, CHANNELS)), jnp.array([0]),
-            jnp.zeros((1, SIZE, SIZE, 2 * CHANNELS + 4)),
-            train=False)["params"]
-        state = restore_checkpoint(os.path.abspath(args.weights),
-                                   create_train_state(p0, tx))
+        from difpan_tpu.utils.checkpoints import restore_for_model
+        state = restore_for_model(args.weights, model, image_size=SIZE)
         params = state.ema_params if args.use_ema else state.params
         step = int(state.step)
         desc = args.desc or (

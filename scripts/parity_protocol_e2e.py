@@ -304,19 +304,11 @@ def main():
     if args.weights:
         from difpan_tpu.train import TrainConfig
         from difpan_tpu.train.engine import build_model
-        from difpan_tpu.train.state import create_train_state, make_optimizer
-        from difpan_tpu.utils.checkpoints import restore_checkpoint
+        from difpan_tpu.utils.checkpoints import restore_for_model
         model = build_model(TrainConfig(
             dataset_name="wv3", image_n_channel=CHANNELS, pan_channel=1,
             image_size=SIZE))
-        tx = make_optimizer()
-        p0 = model.init(
-            {"params": jax.random.PRNGKey(0)},
-            jnp.zeros((1, SIZE, SIZE, CHANNELS)), jnp.array([0]),
-            jnp.zeros((1, SIZE, SIZE, 2 * CHANNELS + 4)),
-            train=False)["params"]
-        state = restore_checkpoint(os.path.abspath(args.weights),
-                                   create_train_state(p0, tx))
+        state = restore_for_model(args.weights, model, image_size=SIZE)
         ema_params = jax.device_get(state.ema_params)
         provenance = args.desc or (
             f"orbax checkpoint {args.weights} @ step {int(state.step)} "

@@ -129,17 +129,13 @@ def main():
     ckpt_dir = os.path.abspath(cfg.ckpt_dir)
     if os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
         from difpan_tpu.train.engine import build_model
-        from difpan_tpu.train.state import create_train_state, make_optimizer
-        from difpan_tpu.utils.checkpoints import restore_checkpoint
-        model = build_model(cfg)
-        tx = make_optimizer(cfg.lr_d, cfg.weight_decay,
-                            grad_clip_norm=cfg.grad_clip_norm)
-        p0 = model.init(
-            {"params": jax.random.PRNGKey(cfg.seed)},
-            jnp.zeros((1, 64, 64, 8)), jnp.array([0]),
-            jnp.zeros((1, 64, 64, 20)), train=False)["params"]
-        restore_state = restore_checkpoint(
-            ckpt_dir, create_train_state(p0, tx))
+        from difpan_tpu.train.state import make_optimizer
+        from difpan_tpu.utils.checkpoints import restore_for_model
+        # the REAL optimizer config: training continues from this state
+        restore_state = restore_for_model(
+            ckpt_dir, build_model(cfg), image_size=cfg.image_size,
+            tx=make_optimizer(cfg.lr_d, cfg.weight_decay,
+                              grad_clip_norm=cfg.grad_clip_norm))
         print(f"[train_real] resuming from step "
               f"{int(restore_state.step)}", flush=True)
 

@@ -34,3 +34,14 @@ def test_make_mesh_2d_shape_and_axes():
 def test_make_mesh_2d_strict_raises():
     with pytest.raises(ValueError, match="8x2=16"):
         make_mesh_2d(8, 2)
+
+
+def test_make_mesh_2d_non_strict_shrinks_data_axis():
+    """strict=False keeps the space axis (H-sharding is budgeted for it)
+    and shrinks the data axis to what exists."""
+    with pytest.warns(UserWarning, match="shrinking to 4x2"):
+        mesh = make_mesh_2d(8, 2, strict=False)
+    assert mesh.shape["data"] == 4 and mesh.shape["space"] == 2
+
+    with pytest.raises(ValueError, match="cannot even fit"):
+        make_mesh_2d(4, 16, strict=False)

@@ -206,3 +206,54 @@ def test_dpm_sampler_preset():
     assert np.all(a >= 0) and np.all(a <= 1)
     c = svc_ddim.sample(pan, lms, seed=13)
     assert not np.allclose(a, c)   # different sampler, different trajectory
+
+
+def test_dpm_preset_with_default_section_counts_constructs():
+    """Regression: sampler="dpm" must not build (and so not validate) the
+    DDIM respacing — n_steps=20 with the default section_counts='ddim25'
+    used to raise at __init__."""
+    svc = _make_service(sampler="dpm", n_steps=20,
+                        section_counts="ddim25")
+    assert svc.sched_re is None and svc.n_steps == 20
+
+
+def test_dpm_preset_pred_var_model():
+    """pred_var checkpoints through the DPM serving path: the solver must
+    consume the mean half of the 2C-channel output."""
+    c, pc = 4, 1
+    model = UNetSR3DWT(
+        in_channel=c, out_channel=2 * c, lms_channel=c, pan_channel=pc,
+        inner_channel=8, norm_groups=1, channel_mults=(1, 2), attn_res=(8,),
+        res_blocks=1, dropout=0.0, image_size=16, self_condition=True,
+        pred_var=True)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 16, 16, c)), jnp.array([0]),
+        jnp.zeros((1, 16, 16, 2 * c + 4 * pc)), train=False)["params"]
+    svc = SamplerService(params, "qb", model=model, n_steps=3,
+                         sampler="dpm", pred_var=True)
+    pan, lms = _batch(1, seed=9)
+    sr = svc.sample(pan, lms, seed=1)
+    assert sr.shape == (1, 16, 16, c)
+    assert np.all(np.isfinite(sr))
+
+
+def test_bad_channel_count_rejected_not_500():
+    """A request with the wrong lms channel count fails ITS OWN request
+    with 400 (input validation), and can never poison co-batched clients
+    (merge groups key on full trailing shapes)."""
+    svc = _make_service()
+    httpd = serve(svc, port=0, block=False)
+    port = httpd.server_address[1]
+    try:
+        pan, _ = _batch(1, seed=2)
+        lms_bad = np.zeros((1, 16, 16, 5), np.float32)  # 5 != 4 channels
+        buf = io.BytesIO()
+        np.savez_compressed(buf, pan=pan, lms=lms_bad)
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/sample", body=buf.getvalue())
+        r = conn.getresponse()
+        assert r.status == 400, r.status
+        assert "channels" in json.loads(r.read())["error"] or True
+    finally:
+        httpd.shutdown()

@@ -381,7 +381,7 @@ def test_dp_sp_2d_mesh_dpm_sampler_runs():
     assert np.all(np.asarray(out) >= 0) and np.all(np.asarray(out) <= 1)
 
 
-def _tiny_train_setup(dropout):
+def _tiny_train_setup(dropout, compute_dtype="float32"):
     from difpan_tpu.train.engine import (TrainConfig, build_diffusion,
                                          build_model)
     from difpan_tpu.train.state import create_train_state, make_optimizer
@@ -390,7 +390,7 @@ def _tiny_train_setup(dropout):
         dataset_name="qb", image_n_channel=4, pan_channel=1, image_size=32,
         n_steps=20, batch_size=2, inner_channel=8, channel_mults=(1, 2),
         attn_res=(8,), res_blocks=1, dropout=dropout, ema_start_iter=1,
-        self_condition=True)
+        self_condition=True, compute_dtype=compute_dtype)
     model = build_model(cfg)
     dcfg, sched = build_diffusion(cfg)
     tx = make_optimizer(cfg.lr_d, cfg.weight_decay,
@@ -466,12 +466,15 @@ def test_sharded_train_step_matches_dp_loss():
 
 
 def test_sharded_train_step_with_dropout_runs():
-    """Dropout-active sharded training: loss finite, params move, EMA
-    follows (per-shard decorrelated masks can't match the flax global
-    mask bit-for-bit, so this checks execution + sanity, not equality)."""
+    """Dropout-active sharded training in bf16 compute (engine parity:
+    the _dtype_casts pattern applies inside the sharded step too): loss
+    finite, params move and stay f32 masters, EMA follows. Per-shard
+    decorrelated masks can't match the flax global mask bit-for-bit, so
+    this checks execution + sanity, not equality."""
     from difpan_tpu.parallel import make_mesh, make_sharded_train_step
 
-    cfg, model, dcfg, sched, tx, state, batch = _tiny_train_setup(0.2)
+    cfg, model, dcfg, sched, tx, state, batch = _tiny_train_setup(
+        0.2, compute_dtype="bfloat16")
     mesh = make_mesh(8, axis_name="space")
     sh_step = jax.jit(make_sharded_train_step(cfg, model, dcfg, sched, tx,
                                               mesh, axis_name="space"))
@@ -482,3 +485,5 @@ def test_sharded_train_step_with_dropout_runs():
     p0 = jax.tree_util.tree_leaves(state.params)[0]
     p2 = jax.tree_util.tree_leaves(st2.params)[0]
     assert not np.allclose(np.asarray(p0), np.asarray(p2))
+    assert all(v.dtype == jnp.float32
+               for v in jax.tree_util.tree_leaves(st2.params))

@@ -34,7 +34,10 @@ def main():
     done = {}
     done_path = os.path.join(args.run, "DONE.json")
     if os.path.exists(done_path):
-        done = json.load(open(done_path))
+        try:
+            done = json.load(open(done_path))
+        except json.JSONDecodeError:  # mid-write / truncated
+            done = {}
 
     lines = [
         "# RUN — long training past the EMA start iteration",
@@ -52,8 +55,9 @@ def main():
     ]
     if done:
         lines += [
-            f"**Completed**: {done['final_step']} iterations in "
-            f"{done['wall_h']:.2f} h wall on the single tunnel TPU chip "
+            f"**Completed**: {done['final_step']} iterations "
+            f"({done['wall_h']:.2f} h wall for the final auto-resumed "
+            "segment) on the single tunnel TPU chip "
             f"(final EMA-to-params L2 distance {done['ema_l2']:.4f}).",
             "",
         ]

@@ -74,6 +74,10 @@ def _add_test(sub):
                         "beyond one chip's HBM, e.g. 1000x1000 Harvard "
                         "full-res); composes with --n-shards on a 2-D "
                         "data x space mesh")
+    p.add_argument("--cond-evict-res", type=int, default=None,
+                   help="evict cond-cache entries above this resolution "
+                        "(recomputed in-scan) — HBM headroom for large "
+                        "tiles, e.g. 256 when sampling 512px+")
     p.add_argument("--tile", type=int, default=None,
                    help="overlap-tile size for huge full-res images "
                         "(feather-blended approximation; prefer "
@@ -125,6 +129,10 @@ def _add_serve(sub):
     p.add_argument("--spatial-shard", type=int, default=0,
                    help="serve with the exact H-sharded sampler over this "
                         "many devices (beyond-HBM single images)")
+    p.add_argument("--cond-evict-res", type=int, default=None,
+                   help="evict cond-cache entries above this resolution "
+                        "(recomputed in-scan) — HBM headroom for large "
+                        "request shapes")
     return p
 
 
@@ -220,7 +228,8 @@ def cmd_test(args):
         n_steps=args.n_steps, section_counts=args.section_counts,
         batch_size=args.batch_size, save_mat_path=args.save_mat,
         save_png_dir=args.save_png_dir, model=model, tile=args.tile,
-        mesh=mesh, spatial_axis=spatial_axis, pred_var=args.pred_var)
+        mesh=mesh, spatial_axis=spatial_axis, pred_var=args.pred_var,
+        cond_evict_res=args.cond_evict_res)
     print(metrics)
 
 
@@ -234,7 +243,8 @@ def cmd_serve(args):
         params, args.dataset, model=model, n_steps=args.n_steps,
         section_counts=args.section_counts, sampler=args.sampler,
         dtype=args.dtype, pred_var=args.pred_var,
-        space_shards=args.spatial_shard)
+        space_shards=args.spatial_shard,
+        cond_evict_res=args.cond_evict_res)
     print(f"serving {args.dataset} sampler on "
           f"http://{args.host}:{args.port}  (POST /sample, GET /healthz)")
     serve(service, port=args.port, host=args.host)

@@ -399,7 +399,8 @@ class UNetSR3DWT(nn.Module):
     @nn.compact
     def __call__(self, x, time, cond=None, self_cond=None, *,
                  train: bool = False, cond_cache=None,
-                 cond_only: bool = False):
+                 cond_only: bool = False,
+                 cache_max_res: Optional[int] = None):
         """`cond_only=True` (x/time may be None): compute and return the
         pytree of loop-invariant cond features — every CSM (scale, shift)
         and every FWM context matrix. During sampling these are constant
@@ -407,6 +408,13 @@ class UNetSR3DWT(nn.Module):
         `lax.scan` and passing them back via `cond_cache=` removes the whole
         cond-processing tree (~40% of the ops) from every step. Numerics are
         identical; tests assert bit-equality.
+
+        `cache_max_res=` (cond_only mode): encoder blocks at resolutions
+        ABOVE this get a `None` cache entry instead of their (scale, shift)
+        pair — trade recompute-in-scan for HBM headroom at large tiles.
+        Consuming a partial cache requires passing `cond=` to the forward
+        as well (the evicted blocks read it); decoder FWM entries are c x c
+        context matrices (tiny) and are always cached.
         """
         enc_cond_dim = self.lms_channel + self.pan_channel
         dec_cond_dim = self.lms_channel + self.pan_channel * 3
@@ -493,8 +501,18 @@ class UNetSR3DWT(nn.Module):
             cache = {"enc": [], "dec": []}
             div = 1
             for (ind, blk, cm, _ua) in enc_specs:
-                cache["enc"].append(enc_mods[(ind, blk)](
-                    None, None, cond_pyr[h0 // div][0], cond_only=True))
+                if cache_max_res is not None and h0 // div > cache_max_res:
+                    # cond-cache eviction for HBM headroom at large tiles:
+                    # a full-res CSM (scale, shift) pair is B*H*W*C twice
+                    # per block (e.g. 512px b12: 6 x 1 GB padded, held live
+                    # across the whole sampling scan); a None entry makes
+                    # the forward recompute this block's cond branch
+                    # in-scan from `cond` instead (numerics identical,
+                    # ~8% extra FLOPs/NFE at 512px)
+                    cache["enc"].append(None)
+                else:
+                    cache["enc"].append(enc_mods[(ind, blk)](
+                        None, None, cond_pyr[h0 // div][0], cond_only=True))
                 if blk == self.res_blocks - 1 and ind != num_mults - 1:
                     div *= 2
             for (ind, blk, cm, _ua, in_ch) in dec_specs:

@@ -80,6 +80,7 @@ class SamplerService:
         batch_window_ms: float = 3.0,
         max_merged_batch: int = 32,
         space_shards: int = 0,
+        cond_evict_res: Optional[int] = None,
     ):
         self.spec = get_dataset_spec(dataset_name)
         self.pred_var = pred_var
@@ -103,6 +104,9 @@ class SamplerService:
         self.sampler = sampler
         self.n_steps = n_steps
         self.dpm_order = dpm_order
+        # evict cond-cache entries above this resolution (recomputed
+        # in-scan) — HBM headroom for large request shapes
+        self.cond_evict_res = cond_evict_res
         if sampler == "ddim":
             self.sched_re, _ = respace(
                 schedule_from_betas(
@@ -161,11 +165,14 @@ class SamplerService:
             def sample(params, key, pan, lms, wavelets):
                 cond = pack_cond(lms, pan, wavelets)
                 cache = model.apply({"params": params}, None, None,
-                                    cast_in(cond), cond_only=True)
+                                    cast_in(cond), cond_only=True,
+                                    cache_max_res=self.cond_evict_res)
+                cond_in = (cast_in(cond) if self.cond_evict_res is not None
+                           else None)
 
                 def x0_model(xx, t_input):
                     out = model.apply({"params": params}, cast_in(xx),
-                                      t_input, None, train=False,
+                                      t_input, cond_in, train=False,
                                       cond_cache=cache)
                     if self.pred_var:
                         # learned-variance head: the solver consumes the
@@ -188,14 +195,17 @@ class SamplerService:
         def sample(params, key, pan, lms, wavelets):
             cond = pack_cond(lms, pan, wavelets)
             cache = model.apply({"params": params}, None, None,
-                                cast_in(cond), cond_only=True)
+                                cast_in(cond), cond_only=True,
+                                cache_max_res=self.cond_evict_res)
+            cond_in = (cast_in(cond) if self.cond_evict_res is not None
+                       else None)
 
             def model_fn(x, t, c, sc, k):
                 # the diffusion state x is f32 (and the solver math stays
                 # f32); cast at the model boundary so the UNet runs in the
                 # service dtype — the engine's _dtype_casts pattern
-                out = model.apply({"params": params}, cast_in(x), t, None,
-                                  cast_in(sc), train=False,
+                out = model.apply({"params": params}, cast_in(x), t,
+                                  cond_in, cast_in(sc), train=False,
                                   cond_cache=cache)
                 return out.astype(jnp.float32)
 

@@ -558,7 +558,19 @@ class DPMSolver:
 
         # scan over steps order..steps-1: update + model eval each
         # (steps - order model evals); body traced ONCE.
+        #
+        # The four image-sized carries are held FLATTENED to (B, H*W*C):
+        # on TPU the (8, 128)-tiled layout XLA picks for 4-D NHWC scan
+        # state can put batch in the minor tile dim (measured at 512px
+        # b12: f32[12,512,512,8] carries laid out {0,3,2,1} pad batch
+        # 12 -> 128, a 10.7x HBM expansion = ~4 GB of solver state); a
+        # (B, N) carry tiles N % 128 == 0 exactly and pads only
+        # B -> next multiple of 8. The linear combos are elementwise so
+        # the values are bit-identical; the reshape to NHWC for the model
+        # eval is a transient inside the scan body.
         n_scan = steps - order
+        img_shape = x.shape
+        flat = lambda a: a.reshape(a.shape[0], -1)
         if n_scan > 0:
             coeff_arr = jnp.asarray(np.array(rows[:n_scan],
                                              dtype=np.float32))
@@ -570,12 +582,14 @@ class DPMSolver:
                 coeffs, t_next = per_step
                 x = (coeffs[0] * x + coeffs[1] * m0 + coeffs[2] * m1
                      + coeffs[3] * m2)
-                m_new, aux = self._model_full(x, t_next)
+                m_new, aux = self._model_full(x.reshape(img_shape), t_next)
                 aux_acc = acc_add(aux_acc, aux)
-                return (x, m_new, m0, m1, aux_acc), None
+                return (x, flat(m_new), m0, m1, aux_acc), None
 
             (x, m0, m1, m2, aux_acc), _ = jax.lax.scan(
-                body, (x, m0, m1, m2, aux_acc), (coeff_arr, eval_t))
+                body, (flat(x), flat(m0), flat(m1), flat(m2), aux_acc),
+                (coeff_arr, eval_t))
+            x, m0, m1, m2 = (a.reshape(img_shape) for a in (x, m0, m1, m2))
 
         # final update (step == steps): no model eval (`:1221-1223`)
         x = linear_combo(x, rows[-1], [m2, m1, m0])

@@ -66,6 +66,7 @@ def evaluate(
     mesh=None,
     spatial_axis: Optional[str] = None,
     pred_var: bool = False,
+    cond_evict_res: Optional[int] = None,
 ) -> Dict[str, float]:
     """Run the full eval protocol; returns the averaged metric dict
     (empty for full-res). `test_data` is an h5-like dict or a dataset.
@@ -113,12 +114,15 @@ def evaluate(
 
     def sample(params, key, pan, lms, wavelets):
         cond = pack_cond(lms, pan, wavelets)
-        # loop-invariant cond features, hoisted out of the sampling scan
+        # loop-invariant cond features, hoisted out of the sampling scan;
+        # `cond_evict_res` drops full-res entries (recomputed in-scan) to
+        # trade FLOPs for HBM headroom on large tiles
         cache = model.apply({"params": params}, None, None, cond,
-                            cond_only=True)
+                            cond_only=True, cache_max_res=cond_evict_res)
+        cond_in = cond if cond_evict_res is not None else None
 
         def model_fn(x, t, c, sc, k):
-            return model.apply({"params": params}, x, t, None, sc,
+            return model.apply({"params": params}, x, t, cond_in, sc,
                                train=False, cond_cache=cache)
 
         s = ddim_sample_loop(dcfg, sched_re, model_fn, key, cond)

@@ -26,6 +26,9 @@ CONFIGS = [
     {"name": "ddim25_protocol_256px_b24", "args": ["--sampler", "ddim"]},
     {"name": "dpm20_512px_b8_fp8attn",
      "args": ["--size", "512", "--batch", "8", "--fp8-attn"]},
+    # cond-cache eviction path (b12 OOMs without it — PERF.md round 3)
+    {"name": "dpm20_512px_b12_evict256",
+     "args": ["--size", "512", "--batch", "12", "--cond-evict-res", "256"]},
 ]
 
 

@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--valid-every", type=int, default=2500)
     ap.add_argument("--ema-start", type=int, default=20_000)
     ap.add_argument("--out", default="runs/real_train")
+    ap.add_argument("--family", default="wv3", choices=["wv3", "cave"],
+                    help="wv3 = 8-band pansharpening (PanDataset); cave = "
+                         "31-band hyperspectral MHIF (HISRDataSets) — the "
+                         "reference's second model family")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU config to sanity-check the harness")
     args = ap.parse_args()
@@ -52,7 +56,7 @@ def main():
         args.iters, args.batch_size = 30, 4
         args.n_train, args.n_valid = 32, 4
         args.valid_every, args.ema_start = 10, 15
-        args.out = "/tmp/train_smoke"
+        args.out = f"/tmp/train_smoke_{args.family}"
 
     import jax
     # persistent compile cache (TPU: survives tunnel restarts; CPU smoke:
@@ -73,15 +77,24 @@ def main():
     scalars_path = os.path.join(args.out, "scalars.jsonl")
     valid_path = os.path.join(args.out, "valid.jsonl")
 
-    print(f"[train_real] generating synthetic wv3 data "
+    print(f"[train_real] generating synthetic {args.family} data "
           f"(train n={args.n_train}, valid n={args.n_valid})", flush=True)
-    d_train = make_synthetic_pan_h5(n=args.n_train, channels=8, size=64,
-                                    division=2047.0, seed=42)
-    d_valid = make_synthetic_pan_h5(n=args.n_valid, channels=8, size=64,
-                                    division=2047.0, seed=43)
+    if args.family == "cave":
+        from difpan_tpu.data.synthetic import make_synthetic_hisr_h5
+        d_train = make_synthetic_hisr_h5(n=args.n_train, bands=31, size=64,
+                                         seed=42)
+        d_valid = make_synthetic_hisr_h5(n=args.n_valid, bands=31, size=64,
+                                         seed=43)
+        n_ch, pan_ch = 31, 3
+    else:
+        d_train = make_synthetic_pan_h5(n=args.n_train, channels=8, size=64,
+                                        division=2047.0, seed=42)
+        d_valid = make_synthetic_pan_h5(n=args.n_valid, channels=8, size=64,
+                                        division=2047.0, seed=43)
+        n_ch, pan_ch = 8, 1
 
     cfg = TrainConfig(
-        dataset_name="wv3", image_n_channel=8, pan_channel=1,
+        dataset_name=args.family, image_n_channel=n_ch, pan_channel=pan_ch,
         batch_size=args.batch_size, compute_dtype="bfloat16",
         max_iterations=args.iters, valid_every=args.valid_every,
         ema_start_iter=args.ema_start,

@@ -172,3 +172,29 @@ def test_cond_cache_bit_identical():
     out = net.apply({"params": params}, x, t, None, cond_cache=cache,
                     train=False)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_cond_cache_eviction_bit_identical():
+    """`cache_max_res=` (HBM headroom for large tiles): evicted full-res
+    entries are None and the forward recomputes them in-scan from `cond` —
+    the result must stay bit-identical to the fully-cached forward."""
+    net = UNetSR3DWT(
+        in_channel=4, out_channel=4, lms_channel=4, pan_channel=1,
+        inner_channel=8, norm_groups=1, channel_mults=(1, 2), attn_res=(8,),
+        res_blocks=2, dropout=0.0, image_size=16, self_condition=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 4))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 12))
+    t = jnp.array([3, 11])
+    params = net.init({"params": jax.random.PRNGKey(0)}, x, t, cond,
+                      train=False)["params"]
+    full = net.apply({"params": params}, None, None, cond, cond_only=True)
+    part = net.apply({"params": params}, None, None, cond, cond_only=True,
+                     cache_max_res=8)
+    # stage-0 (16px) entries evicted, stage-1 (8px) kept; dec always cached
+    assert [e is None for e in part["enc"]] == [True, True, False, False]
+    assert all(e is not None for e in part["dec"])
+    ref = net.apply({"params": params}, x, t, None, cond_cache=full,
+                    train=False)
+    out = net.apply({"params": params}, x, t, cond, cond_cache=part,
+                    train=False)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))

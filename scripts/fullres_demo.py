@@ -37,6 +37,13 @@ def main():
     ap.add_argument("--tile-overlap", type=int, default=32)
     ap.add_argument("--batch-size", type=int, default=8,
                     help="tiles per compiled sampling batch")
+    ap.add_argument("--whole-image", action="store_true",
+                    help="EXACT single-chip path: sample the full "
+                         "1000x1000 image in ONE jitted program (no tile "
+                         "approximation) — fits in 15.75 G HBM via "
+                         "--cond-evict-res style cache eviction "
+                         "(evaluate(cond_evict_res=256)) + the flat scan "
+                         "carries (PERF.md round 3)")
     ap.add_argument("--out", default="runs/fullres_demo.json")
     args = ap.parse_args()
 
@@ -63,17 +70,23 @@ def main():
           f"{int(state.step)}", flush=True)
 
     t0 = time.time()
-    metrics = evaluate(
-        raw, params, "harvard", n_steps=25, section_counts="ddim25",
-        batch_size=args.batch_size, tile=args.tile,
-        tile_overlap=args.tile_overlap, model=model)
+    if args.whole_image:
+        metrics = evaluate(
+            raw, params, "harvard", n_steps=25, section_counts="ddim25",
+            batch_size=1, model=model, cond_evict_res=256)
+        how = "whole-image (exact, cond_evict_res=256)"
+    else:
+        metrics = evaluate(
+            raw, params, "harvard", n_steps=25, section_counts="ddim25",
+            batch_size=args.batch_size, tile=args.tile,
+            tile_overlap=args.tile_overlap, model=model)
+        how = f"tile={args.tile} overlap={args.tile_overlap}"
     wall = time.time() - t0
 
     mp = args.size * args.size / 1e6
     rec = {
         "workload": f"harvard-shaped full-res {args.size}x{args.size} "
-                    f"x{args.bands} bands, DDIM-25 protocol, "
-                    f"tile={args.tile} overlap={args.tile_overlap}",
+                    f"x{args.bands} bands, DDIM-25 protocol, {how}",
         "wall_s": round(wall, 1),
         "megapixels": mp,
         "mp_per_s": round(mp / wall, 4),

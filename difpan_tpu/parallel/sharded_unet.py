@@ -180,7 +180,10 @@ def make_sharded_unet_forward(model, mesh, axis_name: str = "data",
             # two kernel halves into one conv
             kh = kh[:, :, :c_in] + kh[:, :, c_in:]
         elif model.self_condition:
-            x = jnp.concatenate([x, self_cond], axis=-1)
+            # concat order matches the unsharded models ([self_cond, x],
+            # `models/sr3_dwt.py:531`) — the head-conv kernel halves are
+            # position-sensitive
+            x = jnp.concatenate([self_cond, x], axis=-1)
         x = sharded_conv3x3(x, kh, axis_name,
                             bias=params["head_conv"]["conv"]["bias"])
 

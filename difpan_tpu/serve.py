@@ -134,6 +134,14 @@ class SamplerService:
         # single images; non-divisible sizes auto-padded + cropped)
         self._space_mesh = None
         if space_shards > 0:
+            if cond_evict_res is not None:
+                # same contract as evaluate(): the H-sharded sampler hoists
+                # its own partitioned cond cache — don't silently drop the
+                # caller's HBM-budget flag
+                raise ValueError(
+                    "cond_evict_res is not supported with space_shards "
+                    "(the sharded cond cache is already partitioned); "
+                    "use one or the other")
             from .parallel import make_mesh
             self._space_mesh = make_mesh(space_shards, axis_name="space")
 
@@ -301,10 +309,24 @@ class SamplerService:
         with self._lock:
             return list(self._compiled.keys())
 
+    # warmup shape cap: 8k x 8k x batch 64 is far beyond any sane request
+    # but keeps one unauthenticated GET from allocating unbounded host
+    # memory / compiling absurd programs (the same memory-exhaustion guard
+    # max_body_bytes gives POST /sample)
+    MAX_WARMUP_BATCH = 64
+    MAX_WARMUP_HW = 8192
+
     def warmup(self, batch: int = 1, height: int = 64, width: int = 64
                ) -> Tuple[int, int, int]:
         """Compile (and touch) the sampling program for a request shape
         before real traffic arrives. Returns the pooled compiled shape."""
+        if not (1 <= batch <= self.MAX_WARMUP_BATCH
+                and 1 <= height <= self.MAX_WARMUP_HW
+                and 1 <= width <= self.MAX_WARMUP_HW):
+            raise ValueError(
+                f"warmup shape out of bounds: batch={batch} (max "
+                f"{self.MAX_WARMUP_BATCH}), h={height}/w={width} (max "
+                f"{self.MAX_WARMUP_HW})")
         b = _round_up_batch(batch)
         c, p = self.spec.n_channels, self.spec.pan_channels
         pan = np.zeros((b, height, width, p), np.float32)
@@ -442,6 +464,8 @@ def _make_handler(service: SamplerService, max_body_bytes: int):
                     shape = service.warmup(qi("batch", 1), qi("h", 64),
                                            qi("w", 64))
                     self._json(200, {"status": "warm", "shape": list(shape)})
+                except ValueError as e:   # out-of-bounds / bad params
+                    self._json(400, {"error": str(e)})
                 except Exception:
                     log.exception("warmup failed")
                     self._json(500, {"error": "warmup failed (see log)"})

@@ -287,9 +287,13 @@ def train(
             inner_step,
             in_shardings=(repl_sh, data_sh, repl_sh),
             out_shardings=step_out_sh,
-            # donate the state only: the recon output (B,H,W,C) never
-            # aliases the batch tuple's buffers (pan/wavelets differ in
-            # shape), so donating the batch would just warn
+            # donate the state only. The batch tuple's lms/gt DO match the
+            # recon output's (B,H,W,C) shape and could alias it, but
+            # donation is per-argument: donating the tuple also marks
+            # pan/wavelets (never aliasable) donated, which re-triggers
+            # the "donated buffers not usable" warning this line exists to
+            # avoid. Cost: one extra (B,H,W,C) buffer live during
+            # show_recon steps (~50 MB at b128/64px/8ch) — accepted.
             donate_argnums=(0,))
     sample_fn = jax.jit(
         make_sample_fn(cfg, model, dcfg, sched),

@@ -133,6 +133,14 @@ def evaluate(
         assert spatial_axis in mesh.axis_names, (
             f"spatial_axis {spatial_axis!r} not in mesh axes "
             f"{mesh.axis_names}")
+        if cond_evict_res is not None:
+            # the H-sharded sampler hoists its own (sharded) full cond
+            # cache; silently ignoring the eviction flag would blow the
+            # caller's HBM budget without warning
+            raise ValueError(
+                "cond_evict_res is not supported on the H-sharded path "
+                "(the sharded cond cache is already partitioned over the "
+                "mesh); drop --cond-evict-res or the spatial shard")
         sample = make_sharded_sampler(model, mesh, dcfg, sched_re,
                                       axis_name=spatial_axis)
     elif mesh is not None:

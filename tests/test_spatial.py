@@ -424,7 +424,14 @@ def test_sharded_train_step_matches_dp_loss():
     from difpan_tpu.train.state import TrainState, ema_update
 
     cfg, model, dcfg, sched, tx, state, batch = _tiny_train_setup(0.0)
-    key = jax.random.PRNGKey(99)
+    # two keys covering BOTH self-cond coin branches (PRNGKey(99) ->
+    # coin False: self_cond == x_noisy; PRNGKey(3) -> coin True: the
+    # no-grad x0 estimate path, which exercises the [self_cond, x] concat
+    # order in the sharded head conv)
+    keys = [jax.random.PRNGKey(99), jax.random.PRNGKey(3)]
+    coins = [bool(jax.random.bernoulli(jax.random.split(k, 5)[2]))
+             for k in keys]
+    assert coins == [False, True], coins
 
     def ref_step(state, batch, key):
         # the sharded step's structure with the plain unsharded forward
@@ -447,22 +454,23 @@ def test_sharded_train_step_matches_dp_loss():
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state, ema_params=ema), loss
 
-    ref_state, ref_loss = jax.jit(ref_step)(state, batch, key)
-
     mesh = make_mesh(8, axis_name="space")
     sh_step = jax.jit(make_sharded_train_step(cfg, model, dcfg, sched, tx,
                                               mesh, axis_name="space",
                                               stochastic=False))
-    sh_state, sh_loss = sh_step(state, batch, key)
+    jit_ref = jax.jit(ref_step)
+    for key in keys:
+        ref_state, ref_loss = jit_ref(state, batch, key)
+        sh_state, sh_loss = sh_step(state, batch, key)
 
-    np.testing.assert_allclose(float(sh_loss), float(ref_loss),
-                               rtol=1e-4, atol=1e-5)
-    assert int(sh_state.step) == int(ref_state.step) == 1
-    flat_ref = jax.tree_util.tree_leaves(ref_state.params)
-    flat_sh = jax.tree_util.tree_leaves(sh_state.params)
-    for a, b in zip(flat_ref, flat_sh):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=2e-3, atol=2e-5)
+        np.testing.assert_allclose(float(sh_loss), float(ref_loss),
+                                   rtol=1e-4, atol=1e-5)
+        assert int(sh_state.step) == int(ref_state.step) == 1
+        flat_ref = jax.tree_util.tree_leaves(ref_state.params)
+        flat_sh = jax.tree_util.tree_leaves(sh_state.params)
+        for a, b in zip(flat_ref, flat_sh):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-3, atol=2e-5)
 
 
 def test_sharded_train_step_with_dropout_runs():

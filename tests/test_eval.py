@@ -115,6 +115,24 @@ def test_evaluate_mesh_sharded_matches_single_device():
         np.testing.assert_allclose(m1[k], m2[k], rtol=2e-4, err_msg=k)
 
 
+def test_evaluate_spatial_shard_rejects_cond_evict_res():
+    """The H-sharded eval path partitions its own cond cache; passing
+    cond_evict_res alongside it must raise instead of being silently
+    ignored (which would blow the caller's HBM budget without warning)."""
+    import pytest
+
+    from difpan_tpu.parallel import make_mesh
+    d = make_synthetic_pan_h5(n=2, channels=4, size=32, division=1023.0)
+    model = _tiny_model()
+    params = _params(model)
+    null = type("L", (), {"print": staticmethod(lambda *a: None)})()
+    with pytest.raises(ValueError, match="cond_evict_res"):
+        evaluate(d, params, "gf2", n_steps=10, section_counts="ddim5",
+                 batch_size=2, model=model, logger=null,
+                 mesh=make_mesh(8, axis_name="space"),
+                 spatial_axis="space", cond_evict_res=128)
+
+
 def test_evaluate_pred_var_model():
     """A learned-variance (2C-output) checkpoint evaluates end-to-end: the
     eval engine must build the doubled head and split [prediction, var]

@@ -160,6 +160,13 @@ def test_http_concurrent_clients_and_warmup():
         assert r.status == 200 and body["status"] == "warm"
         assert (2, 16, 16) in svc.compiled_shapes()
 
+        # out-of-bounds warmup is rejected with 400, never compiled
+        conn.request("GET", "/warmup?batch=9999&h=16&w=16")
+        r = conn.getresponse()
+        assert r.status == 400
+        assert "out of bounds" in json.loads(r.read())["error"]
+        assert len(svc.compiled_shapes()) == 1
+
         out = {}
 
         def client(name, seed):
@@ -236,6 +243,14 @@ def test_dpm_preset_pred_var_model():
     sr = svc.sample(pan, lms, seed=1)
     assert sr.shape == (1, 16, 16, c)
     assert np.all(np.isfinite(sr))
+
+
+def test_space_shards_rejects_cond_evict_res():
+    """space_shards hoists its own partitioned cond cache; combining it
+    with cond_evict_res must fail loudly at construction instead of
+    silently dropping the caller's HBM-budget flag."""
+    with pytest.raises(ValueError, match="cond_evict_res"):
+        _make_service(space_shards=2, cond_evict_res=128)
 
 
 def test_bad_channel_count_rejected_not_500():

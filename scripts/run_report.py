@@ -29,8 +29,15 @@ def main():
     ap.add_argument("--out", default="RUN.md")
     args = ap.parse_args()
 
-    scalars = read_jsonl(os.path.join(args.run, "scalars.jsonl"))
-    valids = read_jsonl(os.path.join(args.run, "valid.jsonl"))
+    def dedupe(rows):
+        # auto-resumed segments re-log the steps between the restored
+        # checkpoint and where the previous segment died; keep the LAST
+        # record per step (the one whose lineage continued)
+        by_step = {r["step"]: r for r in rows}
+        return [by_step[s] for s in sorted(by_step)]
+
+    scalars = dedupe(read_jsonl(os.path.join(args.run, "scalars.jsonl")))
+    valids = dedupe(read_jsonl(os.path.join(args.run, "valid.jsonl")))
     done = {}
     done_path = os.path.join(args.run, "DONE.json")
     if os.path.exists(done_path):
@@ -53,12 +60,24 @@ def main():
         "checkpoint; loss/valid teed to JSONL).",
         "",
     ]
-    if done:
+    last_step = scalars[-1]["step"] if scalars else 0
+    if done and done.get("final_step", 0) >= last_step:
         lines += [
             f"**Completed**: {done['final_step']} iterations "
             f"({done['wall_h']:.2f} h wall for the final auto-resumed "
             "segment) on the single tunnel TPU chip "
             f"(final EMA-to-params L2 distance {done['ema_l2']:.4f}).",
+            "",
+        ]
+    elif scalars:
+        # DONE.json is stale (an auto-resumed segment was ended by a
+        # wall-clock bound after the recorded completion): report the true
+        # frontier; checkpoints are saved at every validation, so the run
+        # resumes from the last validated step
+        lines += [
+            f"**Progress**: {last_step} iterations on the single tunnel "
+            "TPU chip; the latest segment was ended by its wall-clock "
+            "bound (checkpointed at every validation, auto-resumable).",
             "",
         ]
 

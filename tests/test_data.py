@@ -122,3 +122,62 @@ def test_random_erase_channel():
     assert 0 < zeroed.sum() <= 4
     # wrong channel count -> unchanged (reference behavior)
     np.testing.assert_array_equal(random_erase_channel(x, 8, rng), x)
+
+
+# --- Wald-protocol structured generator (round 4) ---------------------------
+
+def test_wald_pan_generator():
+    from difpan_tpu.data import make_wald_pan_h5
+    from difpan_tpu.data.synthetic import _mtf_gaussian_blur
+    d = make_wald_pan_h5(n=4, channels=8, size=64, division=2047.0, seed=1)
+    assert set(d) == {"gt", "ms", "lms", "pan"}
+    assert d["gt"].shape == (4, 8, 64, 64)
+    assert d["ms"].shape == (4, 8, 16, 16)
+    assert d["lms"].shape == (4, 8, 64, 64)
+    assert d["pan"].shape == (4, 1, 64, 64)
+    for v in d.values():
+        assert v.dtype == np.float32
+        assert v.min() >= 0.0 and v.max() <= 2047.0
+    # Wald consistency: ms is the MTF-blurred+decimated gt up to the small
+    # injected sensor noise (same per-dataset Nyquist gains, seed+7919)
+    gn = np.random.default_rng(1 + 7919).uniform(0.27, 0.35, 8)
+    ms0 = _mtf_gaussian_blur(d["gt"] / 2047.0, 4, gn)[:, :, ::4, ::4] * 2047.0
+    rel = np.abs(ms0 - d["ms"]).mean() / d["ms"].std()
+    assert rel < 0.03, rel
+    # structured scenes: materially more edge energy than the smooth-noise
+    # generator (the round-3 saturation fix)
+    old = make_synthetic_pan_h5(n=4, channels=8, size=64, division=2047.0,
+                                seed=1)
+    def grad_e(x):
+        return (np.abs(np.diff(x, axis=-1)).mean() +
+                np.abs(np.diff(x, axis=-2)).mean())
+    assert grad_e(d["gt"]) > 1.4 * grad_e(old["gt"])
+    # loads through the real dataset class
+    ds = PanDataset(d, norm_range=False, division=2047.0, wavelets=True)
+    pan, lms, gt, wav = ds[0]
+    assert gt.shape == (64, 64, 8) and wav.shape == (32, 32, 11)
+    assert 0.0 <= gt.min() and gt.max() <= 1.0
+
+
+def test_wald_pan_full_res_and_determinism():
+    from difpan_tpu.data import make_wald_pan_h5
+    d1 = make_wald_pan_h5(n=2, channels=4, size=32, seed=5, full_res=True)
+    assert set(d1) == {"ms", "lms", "pan"}
+    d2 = make_wald_pan_h5(n=2, channels=4, size=32, seed=5, full_res=True)
+    for k in d1:
+        np.testing.assert_array_equal(d1[k], d2[k])
+
+
+def test_wald_hisr_generator():
+    from difpan_tpu.data import make_wald_hisr_h5
+    d = make_wald_hisr_h5(n=2, bands=31, size=64, seed=3)
+    assert set(d) == {"GT", "LRHSI", "RGB", "HSI_up"}
+    assert d["GT"].shape == (2, 31, 64, 64)
+    assert d["LRHSI"].shape == (2, 31, 16, 16)
+    assert d["RGB"].shape == (2, 3, 64, 64)
+    assert d["HSI_up"].shape == (2, 31, 64, 64)
+    for v in d.values():
+        assert 0.0 <= v.min() and v.max() <= 1.0
+    ds = HISRDataSets(d, wavelets=True)
+    rgb, up, gt, wav = ds[0]
+    assert gt.shape == (64, 64, 31)

@@ -22,6 +22,64 @@ REFERENCE_CPU_MPS = 9.31e-4   # measured: see module docstring
 TARGET_MULTIPLier = 10.0
 
 
+def _stage(msg):
+    """Progress lines go to stderr — stdout stays the ONE JSON line."""
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _probe_backend_once(timeout_s: float) -> tuple:
+    """Try jax backend init + one tiny device op in a CHILD process (the
+    axon outage modes are either `UNAVAILABLE` at init or an indefinite
+    hang — both only killable from outside the process). Returns
+    (ok, message)."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "d = jax.devices();"
+            "print('PROBE_OK', d[0].platform, flush=True);"
+            "x = jnp.ones((128, 128));"
+            "(x @ x).block_until_ready()")
+    try:
+        p = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False, f"backend probe hung >{timeout_s:.0f}s"
+    if "PROBE_OK" in p.stdout:
+        return True, p.stdout.strip()
+    tail = (p.stderr or p.stdout).strip().splitlines()
+    return False, tail[-1] if tail else f"probe rc={p.returncode}"
+
+
+def wait_for_backend(attempts: int = 5, base_delay: float = 20.0,
+                     probe_timeout: float = 300.0, probe=None) -> None:
+    """Retry backend init with exponential backoff (VERDICT r3 item 3: the
+    round-3 headline number was zeroed by a transient tunnel outage that a
+    single attempt could not ride out). Raises RuntimeError with the last
+    probe message after `attempts` failures."""
+    probe = probe or _probe_backend_once
+    last = "no attempt made"
+    for i in range(attempts):
+        ok, last = probe(probe_timeout)
+        if ok:
+            if i:
+                _stage(f"backend up after {i + 1} attempts")
+            return
+        delay = base_delay * (2 ** i)
+        _stage(f"backend attempt {i + 1}/{attempts} failed ({last}); "
+               f"retrying in {delay:.0f}s")
+        time.sleep(delay)
+    raise RuntimeError(f"backend unavailable after {attempts} attempts: "
+                       f"{last}")
+
+
+def emit_error(metric: str, err: Exception) -> dict:
+    """Persistent failure => still ONE parseable JSON line on stdout."""
+    result = {"metric": metric, "value": None, "unit": "MP/s/chip",
+              "vs_baseline": None,
+              "error": f"{type(err).__name__}: {err}"}
+    print(json.dumps(result))
+    return result
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=24)  # best of {4,16,24,32}
@@ -48,9 +106,33 @@ def main():
                         "identity ddim respacing — exactly what "
                         "train/eval.py, serve and the reference test_fn "
                         "run; --steps NFE, default 25)")
+    p.add_argument("--skip-probe", action="store_true",
+                   help="skip the child-process backend probe (CPU runs, "
+                        "tests)")
+    p.add_argument("--probe-attempts", type=int, default=5)
+    p.add_argument("--probe-base-delay", type=float, default=20.0)
+    p.add_argument("--probe-timeout", type=float, default=300.0,
+                   help="per-probe child timeout; the hang outage mode "
+                        "never returns, so this bounds each attempt")
     args = p.parse_args()
     if args.steps is None:
         args.steps = 25 if args.sampler == "ddim" else 20
+
+    metric = ("wv3_dpmsolver20_sampling_throughput" if args.sampler == "dpm"
+              else "wv3_ddim_protocol_sampling_throughput")
+    try:
+        return _run(args, metric)
+    except Exception as e:           # noqa: BLE001 — headline evidence must
+        emit_error(metric, e)        # never be a bare traceback
+        sys.exit(1)
+
+
+def _run(args, metric):
+    if not args.skip_probe:
+        _stage("probing backend (child process)")
+        wait_for_backend(attempts=args.probe_attempts,
+                         base_delay=args.probe_base_delay,
+                         probe_timeout=args.probe_timeout)
 
     import jax
     import jax.numpy as jnp
@@ -143,8 +225,12 @@ def main():
                                  method="multistep", skip_type="time_uniform")
 
     # compile + warmup
+    _stage(f"compiling {args.sampler} sampler (b{b} {s}px {args.dtype}; "
+           "remote compile can take 8-25 min cold)")
+    t0 = time.perf_counter()
     out = run(jax.random.PRNGKey(2))
     out.block_until_ready()
+    _stage(f"compiled+warm in {time.perf_counter() - t0:.1f}s")
 
     times = []
     for i in range(args.iters):
@@ -152,11 +238,10 @@ def main():
         t0 = time.perf_counter()
         run(k).block_until_ready()
         times.append(time.perf_counter() - t0)
+        _stage(f"iter {i + 1}/{args.iters}: {times[-1]:.3f}s")
     dt = min(times)
     mps = b * s * s / 1e6 / dt
 
-    metric = ("wv3_dpmsolver20_sampling_throughput" if args.sampler == "dpm"
-              else "wv3_ddim_protocol_sampling_throughput")
     result = {
         "metric": metric,
         "value": round(mps, 4),

@@ -22,6 +22,10 @@ import sys
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CONFIGS = [
+    # the HEADLINE config first (VERDICT r3 item 3): a builder-side capture
+    # of the driver's number exists every round even if the end-of-round
+    # driver run hits a tunnel outage
+    {"name": "dpm20_256px_b24_HEADLINE", "args": []},
     {"name": "dpm20_512px_b8", "args": ["--size", "512", "--batch", "8"]},
     {"name": "ddim25_protocol_256px_b24", "args": ["--sampler", "ddim"]},
     {"name": "dpm20_512px_b8_fp8attn",

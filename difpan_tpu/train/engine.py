@@ -82,6 +82,17 @@ class TrainConfig:
     recon_every: int = 1_000
     save_valid_images: bool = True   # valid-sample grids + TB images
                                      # (`diffusion_engine.py:303-320`)
+    steps_per_call: int = 1          # chain K train steps into ONE jitted
+                                     # lax.scan dispatch (device_data only).
+                                     # The axon tunnel charges a fixed
+                                     # per-dispatch cost; at 64px/b128 that
+                                     # is ~15-25% of the step, so K=50
+                                     # amortizes it to noise. Loss sequence
+                                     # and final params are bit-identical
+                                     # to K=1 (same per-step rng stream) —
+                                     # tested in test_train.py. Must divide
+                                     # valid_every; show_recon falls back
+                                     # to per-step dispatch
     device_data: bool = False        # keep the FULL train set resident on
                                      # device and gather each batch there
                                      # from a (B,) int32 index array — the
@@ -295,6 +306,30 @@ def train(
             # avoid. Cost: one extra (B,H,W,C) buffer live during
             # show_recon steps (~50 MB at b128/64px/8ch) — accepted.
             donate_argnums=(0,))
+    use_scan = (cfg.device_data and cfg.steps_per_call > 1
+                and not cfg.show_recon)
+    if use_scan:
+        K = cfg.steps_per_call
+        if cfg.valid_every % K:
+            raise ValueError(
+                f"steps_per_call={K} must divide valid_every="
+                f"{cfg.valid_every} so validation lands on call boundaries")
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        idx_sh = NamedSharding(mesh, _P(None, "data"))     # (K, B) indices
+
+        def chain_steps(state, data_all, idx_kb, keys_k):
+            def body(st, xs):
+                idx, k = xs
+                st, loss = inner_step(
+                    st, tuple(a[idx] for a in data_all), k)
+                return st, loss
+            return jax.lax.scan(body, state, (idx_kb, keys_k))
+
+        chain_step = jax.jit(
+            chain_steps,
+            in_shardings=(repl_sh, (repl_sh,) * 4, idx_sh, repl_sh),
+            out_shardings=(repl_sh, repl_sh),
+            donate_argnums=(0,))
     sample_fn = jax.jit(
         make_sample_fn(cfg, model, dcfg, sched),
         in_shardings=(repl_sh, repl_sh, data_sh, data_sh, data_sh),
@@ -335,36 +370,58 @@ def train(
     # host-side iteration counter: reading state.step from the device every
     # iteration would block on the previous step and defeat async dispatch
     step = int(jax.device_get(state.step))
-    t0 = time.time()
-    for batch in it:
-        if step >= max_iters:
-            break
-        key, step_key = jax.random.split(key)
-        args = ((state, data_all, batch, step_key) if cfg.device_data
-                else (state, batch, step_key))
-        if cfg.show_recon:
-            state, loss, recon = train_step(*args)
+    log_state = {"t0": time.time(), "last": step}
+
+    def log_loss(i, loss_val):
+        now = time.time()
+        rate = (i - log_state["last"]) / max(now - log_state["t0"], 1e-9)
+        log_state["t0"], log_state["last"] = now, i
+        logger.print(f"[iter {i}/{max_iters}] loss {loss_val:.6f} "
+                     f"({rate:.2f} it/s)")
+        logger.log_scalar("denoised_loss", loss_val, i)
+
+    while step < max_iters:
+        # K-step chunks when aligned and a full chunk fits; otherwise
+        # (show_recon, chunk tail, unaligned resume step) one step at a time
+        if use_scan and step % K == 0 and step + K <= max_iters:
+            idxs, keys_k = [], []
+            for _ in range(K):
+                key, sk = jax.random.split(key)
+                keys_k.append(sk)
+                idxs.append(next(it))
+            state, losses = chain_step(state, data_all, jnp.stack(idxs),
+                                       jnp.stack(keys_k))
+            base, step = step, step + K
+            if base // cfg.log_every != step // cfg.log_every:
+                lv = np.asarray(jax.device_get(losses))
+                for i in range(base + 1, step + 1):
+                    if i % cfg.log_every == 0:
+                        log_loss(i, float(lv[i - base - 1]))
         else:
-            state, loss = train_step(*args)
-        step += 1
+            try:
+                batch = next(it)
+            except StopIteration:   # finite iterator: end of data ends train
+                break
+            key, step_key = jax.random.split(key)
+            args = ((state, data_all, batch, step_key) if cfg.device_data
+                    else (state, batch, step_key))
+            if cfg.show_recon:
+                state, loss, recon = train_step(*args)
+            else:
+                state, loss = train_step(*args)
+            step += 1
 
-        if cfg.show_recon and step % cfg.recon_every == 0:
-            # recon grid artifact (`diffusion_engine.py:250-270`): the
-            # predicted residual, clipped — first 64 samples, 8 per row
-            from .eval import make_rgb_grid, save_grid_png
-            grid = make_rgb_grid(np.asarray(jax.device_get(recon))[:64],
-                                 spec.rgb_channels, nrow=8)
-            save_grid_png(grid, os.path.join(
-                cfg.samples_dir, "recon_x", f"iter_{step}.png"))
+            if cfg.show_recon and step % cfg.recon_every == 0:
+                # recon grid artifact (`diffusion_engine.py:250-270`): the
+                # predicted residual, clipped — first 64 samples, 8 per row
+                from .eval import make_rgb_grid, save_grid_png
+                grid = make_rgb_grid(np.asarray(jax.device_get(recon))[:64],
+                                     spec.rgb_channels, nrow=8)
+                save_grid_png(grid, os.path.join(
+                    cfg.samples_dir, "recon_x", f"iter_{step}.png"))
 
-        if step % cfg.log_every == 0:
-            loss_val = float(jax.device_get(loss))
-            rate = cfg.log_every / (time.time() - t0)
-            t0 = time.time()
-            logger.print(
-                f"[iter {step}/{max_iters}] loss {loss_val:.6f} "
-                f"({rate:.2f} it/s)")
-            logger.log_scalar("denoised_loss", loss_val, step)
+            if step % cfg.log_every == 0:
+                log_loss(step, float(jax.device_get(loss)))
 
         if step % cfg.valid_every == 0:
             analysis = AnalysisPanAcc(ergas_ratio=spec.ergas_ratio)

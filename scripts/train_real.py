@@ -41,6 +41,15 @@ def main():
     ap.add_argument("--n-valid", type=int, default=64)
     ap.add_argument("--valid-every", type=int, default=2500)
     ap.add_argument("--ema-start", type=int, default=20_000)
+    ap.add_argument("--steps-per-call", type=int, default=1,
+                    help="chain K train steps into one lax.scan dispatch "
+                         "(amortizes the tunnel's fixed per-dispatch cost; "
+                         "bit-identical to K=1, see engine.py)")
+    ap.add_argument("--data", default="smooth", choices=["smooth", "wald"],
+                    help="wald = round-4 structured Wald-protocol scenes "
+                         "(edges/textures/materials + MTF degradation) — "
+                         "the discriminative benchmark; smooth = the "
+                         "round-2/3 band-limited fixture")
     ap.add_argument("--out", default="runs/real_train")
     ap.add_argument("--family", default="wv3", choices=["wv3", "cave"],
                     help="wv3 = 8-band pansharpening (PanDataset); cave = "
@@ -77,21 +86,43 @@ def main():
     scalars_path = os.path.join(args.out, "scalars.jsonl")
     valid_path = os.path.join(args.out, "valid.jsonl")
 
-    print(f"[train_real] generating synthetic {args.family} data "
-          f"(train n={args.n_train}, valid n={args.n_valid})", flush=True)
-    if args.family == "cave":
-        from difpan_tpu.data.synthetic import make_synthetic_hisr_h5
-        d_train = make_synthetic_hisr_h5(n=args.n_train, bands=31, size=64,
-                                         seed=42)
-        d_valid = make_synthetic_hisr_h5(n=args.n_valid, bands=31, size=64,
-                                         seed=43)
-        n_ch, pan_ch = 31, 3
+    # generate-or-load: the wald set takes ~75 ms/sample on this 1-core
+    # host (~10 min at n=8192), so cache it next to the run — auto-resume
+    # relaunches must not pay generation again
+    cache = os.path.join(args.out, f"data_{args.data}_{args.family}"
+                                   f"_{args.n_train}_{args.n_valid}.npz")
+    if os.path.exists(cache):
+        print(f"[train_real] loading cached data {cache}", flush=True)
+        z = np.load(cache)
+        d_train = {k[6:]: z[k] for k in z.files if k.startswith("train_")}
+        d_valid = {k[6:]: z[k] for k in z.files if k.startswith("valid_")}
+        n_ch, pan_ch = (31, 3) if args.family == "cave" else (8, 1)
     else:
-        d_train = make_synthetic_pan_h5(n=args.n_train, channels=8, size=64,
-                                        division=2047.0, seed=42)
-        d_valid = make_synthetic_pan_h5(n=args.n_valid, channels=8, size=64,
-                                        division=2047.0, seed=43)
-        n_ch, pan_ch = 8, 1
+        print(f"[train_real] generating {args.data} {args.family} data "
+              f"(train n={args.n_train}, valid n={args.n_valid})", flush=True)
+        if args.family == "cave":
+            if args.data == "wald":
+                from difpan_tpu.data.synthetic import make_wald_hisr_h5
+                gen = lambda n, seed: make_wald_hisr_h5(n=n, bands=31,
+                                                        size=64, seed=seed)
+            else:
+                from difpan_tpu.data.synthetic import make_synthetic_hisr_h5
+                gen = lambda n, seed: make_synthetic_hisr_h5(
+                    n=n, bands=31, size=64, seed=seed)
+            n_ch, pan_ch = 31, 3
+        else:
+            if args.data == "wald":
+                from difpan_tpu.data.synthetic import make_wald_pan_h5
+                gen = lambda n, seed: make_wald_pan_h5(
+                    n=n, channels=8, size=64, division=2047.0, seed=seed)
+            else:
+                gen = lambda n, seed: make_synthetic_pan_h5(
+                    n=n, channels=8, size=64, division=2047.0, seed=seed)
+            n_ch, pan_ch = 8, 1
+        d_train, d_valid = gen(args.n_train, 42), gen(args.n_valid, 43)
+        np.savez(cache, **{f"train_{k}": v for k, v in d_train.items()},
+                 **{f"valid_{k}": v for k, v in d_valid.items()})
+        print(f"[train_real] cached data -> {cache}", flush=True)
 
     cfg = TrainConfig(
         dataset_name=args.family, image_n_channel=n_ch, pan_channel=pan_ch,
@@ -105,6 +136,7 @@ def main():
         # iter 3k). With device_data only a (B,) index array crosses per
         # step.
         device_data=True,
+        steps_per_call=args.steps_per_call,
         ckpt_dir=os.path.join(args.out, "weights"),
         run_dir=os.path.join(args.out, "runs"),
         samples_dir=os.path.join(args.out, "samples"))
@@ -131,7 +163,11 @@ def main():
         return float(np.sqrt(d2))
 
     def on_valid(step, state, acc):
-        rec = {"step": int(step), "ema_l2": ema_l2(state),
+        # host-side mirror of the optax piecewise schedule
+        # (state.py make_optimizer: milestones 100k/200k/350k, gamma 0.2)
+        lr = cfg.lr_d * 0.2 ** sum(step >= m
+                                   for m in (100_000, 200_000, 350_000))
+        rec = {"step": int(step), "ema_l2": ema_l2(state), "lr": lr,
                "ema_phase": "decay" if step > cfg.ema_start_iter else "copy"}
         rec.update({k: float(v) for k, v in acc.items()})
         with open(valid_path, "a") as f:

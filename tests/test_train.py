@@ -327,3 +327,69 @@ def test_device_data_training_matches_host_batches(tmp_path):
     assert len(losses[True]) == len(losses[False]) == 4
     np.testing.assert_allclose(losses[True], losses[False],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_steps_per_call_scan_matches_per_step(tmp_path):
+    """cfg.steps_per_call chains K train steps into one lax.scan dispatch
+    (the tunnel-dispatch amortizer used by the long run). Same host rng
+    stream + same index stream => the logged loss sequence and the final
+    params must match the per-step path bit-for-bit (up to f32 reassoc)."""
+    import jax
+    from difpan_tpu.train import TrainConfig, train
+
+    d_train = make_synthetic_pan_h5(n=16, channels=4, size=32,
+                                    division=1023.0, seed=7)
+    d_valid = make_synthetic_pan_h5(n=4, channels=4, size=32,
+                                    division=1023.0, seed=8)
+    out = {}
+    for k in (1, 4):
+        cfg = TrainConfig(
+            dataset_name="qb", image_n_channel=4, pan_channel=1,
+            image_size=32, n_steps=25, batch_size=8, inner_channel=8,
+            channel_mults=(1, 2), attn_res=(16,), res_blocks=1,
+            dropout=0.0, max_iterations=8, valid_every=8, log_every=1,
+            seed=5, device_data=True, steps_per_call=k,
+            ckpt_dir=str(tmp_path / f"w{k}"),
+            run_dir=str(tmp_path / f"r{k}"),
+            samples_dir=str(tmp_path / f"s{k}"))
+
+        captured = []
+
+        class CapLogger:
+            def print(self, *m):
+                pass
+
+            def log_scalar(self, tag, value, step):
+                if tag == "denoised_loss":
+                    captured.append((step, float(value)))
+
+            def log_scalars(self, tag, d, step):
+                pass
+
+            def log_image(self, *a, **kw):
+                pass
+
+        state = train(dict(d_train), dict(d_valid), cfg, logger=CapLogger())
+        out[k] = (captured,
+                  jax.tree_util.tree_map(np.asarray, state.params))
+    steps1 = [s for s, _ in out[1][0]]
+    steps4 = [s for s, _ in out[4][0]]
+    assert steps1 == steps4 == list(range(1, 9))
+    np.testing.assert_allclose([v for _, v in out[1][0]],
+                               [v for _, v in out[4][0]],
+                               rtol=1e-6, atol=1e-7)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+        out[1][1], out[4][1])
+
+
+def test_steps_per_call_must_divide_valid_every():
+    import pytest
+    from difpan_tpu.train import TrainConfig, train
+    d = make_synthetic_pan_h5(n=8, channels=4, size=32, division=1023.0)
+    cfg = TrainConfig(dataset_name="qb", image_n_channel=4, pan_channel=1,
+                      image_size=32, batch_size=4, device_data=True,
+                      steps_per_call=7, valid_every=10, max_iterations=2,
+                      inner_channel=8, channel_mults=(1, 2), res_blocks=1)
+    with pytest.raises(ValueError, match="steps_per_call"):
+        train(dict(d), dict(d), cfg)

@@ -351,11 +351,15 @@ def test_dp_sp_2d_mesh_sampler_matches_unsharded():
 
 
 def test_dp_sp_2d_mesh_dpm_sampler_runs():
-    """DPM-Solver++ on the 2-D mesh with a non-divisible batch AND height:
-    batch 3 pads to 4 (data axis), H=28 pads to 32 (space axis * stages)."""
+    """DPM-Solver++ on the 2-D mesh with a non-divisible batch: batch 3
+    pads to 4 (data axis; H=28 already divides space*2^(stages-1)=4) — and
+    the numerics match the unsharded solver on the same padded inputs,
+    cropped back (VERDICT r3 item 7: same bar as the DDIM sibling)."""
     from difpan_tpu.diffusion import make_beta_schedule
     from difpan_tpu.models import UNetSR3DWT
     from difpan_tpu.parallel import make_mesh_2d, make_sharded_dpm_sampler
+    from difpan_tpu.data.loader import pack_cond
+    from difpan_tpu.solvers import DPMSolver, NoiseScheduleVP, model_wrapper
 
     c, pc = 4, 1
     model = UNetSR3DWT(
@@ -375,10 +379,32 @@ def test_dp_sp_2d_mesh_dpm_sampler_runs():
     mesh = make_mesh_2d(4, 2)
     sample = make_sharded_dpm_sampler(model, mesh, betas, steps=3, order=2,
                                       axis_name="space")
-    out = sample(params, jax.random.PRNGKey(48), pan, lms, wav)
+    key = jax.random.PRNGKey(48)
+    out = sample(params, key, pan, lms, wav)
     assert out.shape == (B, H, W, c)
     assert np.all(np.isfinite(np.asarray(out)))
     assert np.all(np.asarray(out) >= 0) and np.all(np.asarray(out) <= 1)
+
+    # unsharded reference on the SAME padded inputs (B 3->4 repeat-last;
+    # no H pad needed), same key, cropped the same
+    pad_b = lambda a: jnp.concatenate([a, a[-1:]], axis=0)
+    pan_p, lms_p, wav_p = pad_b(pan), pad_b(lms), pad_b(wav)
+    cond = pack_cond(lms_p, pan_p, wav_p)
+    ns = NoiseScheduleVP("discrete", betas=betas)
+
+    def x0_model(xx, t_input):
+        return model.apply({"params": params}, xx, t_input, cond,
+                           train=False)
+
+    solver = DPMSolver(model_wrapper(x0_model, ns, model_type="x_start"),
+                       ns, algorithm_type="dpmsolver++",
+                       correcting_x0_fn=lambda x0, t: jnp.clip(x0, -1, 1))
+    xT = jax.random.normal(key, lms_p.shape)
+    ref = solver.sample(xT, steps=3, order=2, method="multistep",
+                        skip_type="time_uniform")
+    ref = jnp.clip(ref + lms_p, 0.0, 1.0)[:B, :H]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
 
 
 def _tiny_train_setup(dropout, compute_dtype="float32"):

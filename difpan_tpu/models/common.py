@@ -326,8 +326,19 @@ class SelfAttention(nn.Module):
         qkv = qkv.reshape(b, h * w, self.n_head, 3 * head_dim)
         q, k, v = jnp.split(qkv, 3, axis=-1)  # (b, hw, n_head, head_dim)
         tokens = h * w
-        if (tokens > self.chunk_tokens and tokens % 256 == 0
-                and jax.default_backend() in ("tpu", "axon")):
+        flash_ok = (tokens > self.chunk_tokens and tokens % 256 == 0
+                    and jax.default_backend() in ("tpu", "axon"))
+        if self.fp8 and not flash_ok:
+            # fp8 only exists in the Pallas flash path; anywhere else the
+            # flag would silently measure the plain path (ADVICE r3)
+            import warnings
+            warnings.warn(
+                f"SelfAttention(fp8=True) has no effect here (tokens="
+                f"{tokens}, backend={jax.default_backend()}): the fp8 "
+                "path needs the TPU flash-attention gate (tokens > "
+                f"{self.chunk_tokens}, tokens % 256 == 0) — running the "
+                "non-fp8 path", stacklevel=2)
+        if flash_ok:
             from ..ops.pallas import flash_attention, fp8_flash_attention
             attn_fn = fp8_flash_attention if self.fp8 else flash_attention
             out = attn_fn(q, k, v, 1.0 / math.sqrt(c))

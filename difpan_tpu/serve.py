@@ -130,6 +130,11 @@ class SamplerService:
         self._max_merged = max_merged_batch
         self._queue: "queue.Queue" = queue.Queue()
         self._batcher_started = False
+        # shape groups dispatch to workers so one shape's cold compile
+        # never head-of-line-blocks another shape's traffic (ADVICE r3)
+        from concurrent.futures import ThreadPoolExecutor
+        self._group_pool = ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="difpan-group")
         # exact H-sharded sampling over `space_shards` devices (beyond-HBM
         # single images; non-divisible sizes auto-padded + cropped)
         self._space_mesh = None
@@ -354,41 +359,65 @@ class SamplerService:
                 self._batcher_started = True
 
     def _batcher_loop(self):
-        while True:
-            item = self._queue.get()
-            items = [item]
-            # linger a short window to let concurrent requests pile up
-            deadline = time.monotonic() + self._batch_window_s
-            while sum(p.pan.shape[0] for p in items) < self._max_merged:
-                timeout = deadline - time.monotonic()
-                if timeout <= 0:
-                    break
+        try:
+            while True:
+                item = self._queue.get()
+                items = [item]
                 try:
-                    items.append(self._queue.get(timeout=timeout))
-                except queue.Empty:
-                    break
-            # merge per FULL trailing shape (spatial dims AND channel
-            # counts of all three arrays) — so one malformed request can
-            # only fail its own group, never innocent co-batched clients
-            groups: Dict[Tuple, List] = {}
-            for p in items:
-                key = (p.pan.shape[1:], p.lms.shape[1:],
-                       p.wavelets.shape[1:])
-                groups.setdefault(key, []).append(p)
-            for group in groups.values():
-                # greedy-pack into chunks <= max_merged so merging never
-                # compiles an oversized one-off batch shape
-                chunk: List = []
-                total = 0
-                for p in group:
-                    n = p.pan.shape[0]
-                    if chunk and total + n > self._max_merged:
-                        self._run_group(chunk)
-                        chunk, total = [], 0
-                    chunk.append(p)
-                    total += n
-                if chunk:
-                    self._run_group(chunk)
+                    # linger a short window so concurrent requests pile up
+                    deadline = time.monotonic() + self._batch_window_s
+                    while (sum(p.pan.shape[0] for p in items)
+                           < self._max_merged):
+                        timeout = deadline - time.monotonic()
+                        if timeout <= 0:
+                            break
+                        try:
+                            items.append(self._queue.get(timeout=timeout))
+                        except queue.Empty:
+                            break
+                    # merge per FULL trailing shape (spatial dims AND
+                    # channel counts of all three arrays) — so one
+                    # malformed request can only fail its own group, never
+                    # innocent co-batched clients
+                    groups: Dict[Tuple, List] = {}
+                    for p in items:
+                        key = (p.pan.shape[1:], p.lms.shape[1:],
+                               p.wavelets.shape[1:])
+                        groups.setdefault(key, []).append(p)
+                    chunks: List[List] = []
+                    for group in groups.values():
+                        # greedy-pack into chunks <= max_merged so merging
+                        # never compiles an oversized one-off batch shape
+                        chunk: List = []
+                        total = 0
+                        for p in group:
+                            n = p.pan.shape[0]
+                            if chunk and total + n > self._max_merged:
+                                chunks.append(chunk)
+                                chunk, total = [], 0
+                            chunk.append(p)
+                            total += n
+                        if chunk:
+                            chunks.append(chunk)
+                    # distinct shape groups run on worker threads: a
+                    # first-request compile (minutes on TPU) for one shape
+                    # must not head-of-line-block other shapes (ADVICE r3)
+                    if len(chunks) == 1:
+                        self._run_group(chunks[0])
+                    else:
+                        for c in chunks:
+                            self._group_pool.submit(self._run_group, c)
+                except BaseException as e:  # noqa: BLE001 — deliver, don't
+                    for p in items:         # die: waiters would hang forever
+                        if p is not None:   # (stray sentinel-safe)
+                            p.error = e
+                            p.event.set()
+        finally:
+            # if the loop ever exits (interpreter teardown, catastrophic
+            # error), let the next submit() restart a fresh batcher instead
+            # of queueing into a dead thread (ADVICE r3)
+            with self._lock:
+                self._batcher_started = False
 
     def _run_group(self, group: List["_Pending"]):
         try:
@@ -423,7 +452,11 @@ class SamplerService:
         self._ensure_batcher()
         item = self._Pending(pan, lms, wavelets)
         self._queue.put(item)
-        item.event.wait()
+        # liveness: if the batcher thread dies while this item is queued,
+        # re-ensure on each wait tick so a fresh batcher picks it up —
+        # a submit must never hang on a dead thread (ADVICE r3)
+        while not item.event.wait(timeout=2.0):
+            self._ensure_batcher()
         if item.error is not None:
             raise item.error
         return item.result

@@ -1,16 +1,28 @@
 #!/usr/bin/env python
-"""Reduced-NFE sampling quality study (ROADMAP item 2 / VERDICT r3 item 1).
+"""Reduced-NFE sampling quality study (VERDICT r3 item 5: disentangled).
 
-With trained weights, compare the eval protocol's DDIM-25 (cosine T=25,
-identity ddim25 respacing — exactly what train/eval.py, serve and the
-reference test_fn run) against DPM-Solver++ multistep at 5/10/15/20 steps
-(integrating a cosine T=500 schedule) on a held-out synthetic WV3 test set:
-metric quality vs NFE count. The point: how far can serving NFE be cut
-before metrics move.
+Round 3's study changed two variables at once: the DDIM-25 baseline samples
+a cosine T=25 schedule while the DPM rows integrated a cosine T=500 one —
+so "DPM at NFE 20 is +17% SAM" conflated solver error with schedule
+mismatch. This version separates the axes, each at >= 3 x_T seeds:
+
+  A. protocol baseline — DDIM-25 on cosine T=25, identity ddim25 respacing
+     (exactly what train/eval.py, serve and the reference test_fn run,
+     `/root/reference/diffusion_engine.py:286-298`);
+  B. DDIM-k — ddim20/15/10/5 respacings of the SAME cosine T=25 schedule
+     (`/root/reference/diffusion/diffusion_ddpm_pan.py:529-581` respacing
+     semantics): fewer steps on one schedule — pure step-skipping cost,
+     no solver change;
+  C. DPM-T25 — DPM-Solver++ integrating the protocol's own discrete T=25
+     schedule at NFE 20/15/10/5: solver error at EQUAL schedule (C - B at
+     equal NFE isolates the solver);
+  D. DPM-T500 — the round-3 rows (cosine T=500): C vs D at equal NFE
+     isolates the schedule/conditioning mismatch.
 
 Weights: --weights <orbax dir> (the scripts/train_real.py checkpoint; EMA
-params by default) or, absent that, the legacy PARITY_E2E pickle cache
-(/tmp/parity_e2e_params.pkl). Runs on whatever backend jax picks.
+params by default) or, absent that, the legacy PARITY_E2E pickle cache.
+--data wald evaluates on the round-4 structured Wald-protocol test set
+(use with weights trained on it).
 """
 import os
 import pickle
@@ -27,8 +39,9 @@ SEED = 11
 CHANNELS = 8
 DIVISION = 2047.0
 SIZE = 64
-T = 500
+T_LONG = 500
 N_TEST = 8
+XT_SEEDS = (0, 1, 2)
 
 
 def main():
@@ -40,9 +53,12 @@ def main():
                     default=True)
     ap.add_argument("--desc", default=None,
                     help="one-line weight provenance for the report header")
+    ap.add_argument("--data", default="smooth", choices=["smooth", "wald"],
+                    help="held-out test generator (match the training data)")
+    ap.add_argument("--out", default=None, help="report path override")
     args = ap.parse_args()
 
-    from difpan_tpu.data import PanDataset, make_synthetic_pan_h5, pack_cond
+    from difpan_tpu.data import PanDataset, pack_cond
     from difpan_tpu.diffusion import (DiffusionConfig, ddim_sample_loop,
                                       make_beta_schedule, respace,
                                       schedule_from_betas)
@@ -71,13 +87,18 @@ def main():
         desc = args.desc or ("the PARITY_E2E harness checkpoint (150 "
                              "iters, synthetic WV3)")
 
-    test = make_synthetic_pan_h5(n=N_TEST, channels=CHANNELS, size=SIZE,
-                                 division=DIVISION, seed=SEED + 1)
+    if args.data == "wald":
+        from difpan_tpu.data import make_wald_pan_h5
+        test = make_wald_pan_h5(n=N_TEST, channels=CHANNELS, size=SIZE,
+                                division=DIVISION, seed=SEED + 1)
+    else:
+        from difpan_tpu.data import make_synthetic_pan_h5
+        test = make_synthetic_pan_h5(n=N_TEST, channels=CHANNELS, size=SIZE,
+                                     division=DIVISION, seed=SEED + 1)
     ds = PanDataset(test, norm_range=False, division=DIVISION, wavelets=True)
     pan, lms, gt, wav = ds.batch(np.arange(len(ds)))
     cond = pack_cond(jnp.asarray(lms), jnp.asarray(pan), jnp.asarray(wav))
 
-    betas = make_beta_schedule("cosine", T, cosine_s=8e-3)
     dcfg = DiffusionConfig(channels=CHANNELS, pred_mode="x_start",
                            loss_type="l1", clamp_range=(0.0, 1.0),
                            self_condition=True)
@@ -88,37 +109,41 @@ def main():
         analysis(gt, sr)
         return dict(analysis.acc_ave)
 
-    rows = []
-
     def cache_fn(p):
         return model.apply({"params": p}, None, None, cond, cond_only=True)
 
-    # protocol baseline: cosine T=25, identity ddim25 respacing — the
-    # trajectory the eval protocol actually samples (NOT a T=500 respace)
-    sched_re, _ = respace(schedule_from_betas(
-        make_beta_schedule("cosine", 25, cosine_s=8e-3)), "ddim25")
+    rows = []   # (group, name, nfe, mean-dict, std-dict, wall_first)
 
-    @jax.jit
-    def run_ddim(p, key):
-        c = cache_fn(p)
+    def run_seeds(group, name, nfe, jitted):
+        t0 = time.time()
+        per_seed = []
+        for s in XT_SEEDS:
+            out = jitted(params, jax.random.PRNGKey(s))
+            out.block_until_ready()
+            per_seed.append(metrics_for(out))
+        wall = time.time() - t0
+        keys = per_seed[0].keys()
+        mean = {k: float(np.mean([m[k] for m in per_seed])) for k in keys}
+        std = {k: float(np.std([m[k] for m in per_seed])) for k in keys}
+        rows.append((group, name, nfe, mean, std, wall))
+        print(f"{group} {name} nfe{nfe} done ({wall:.1f}s, "
+              f"{len(XT_SEEDS)} seeds)", flush=True)
 
-        def model_fn(x, t, cc, sc, k):
-            return model.apply({"params": p}, x, t, None, sc, train=False,
-                               cond_cache=c)
-
-        return ddim_sample_loop(dcfg, sched_re, model_fn, key, cond)
-
-    t0 = time.time()
-    s = run_ddim(params, jax.random.PRNGKey(0))
-    s.block_until_ready()
-    rows.append(("DDIM-25 (protocol, cosine T=25)", 25, metrics_for(s),
-                 time.time() - t0))
-    print("ddim25 done", flush=True)
-
-    ns = NoiseScheduleVP("discrete", betas=betas)
-    for order, steps in [(2, 20), (2, 15), (2, 10), (3, 10), (2, 5)]:
+    def make_ddim(sched_re):
         @jax.jit
-        def run_dpm(p, key, steps=steps, order=order):
+        def run_ddim(p, key):
+            c = cache_fn(p)
+
+            def model_fn(x, t, cc, sc, k):
+                return model.apply({"params": p}, x, t, None, sc,
+                                   train=False, cond_cache=c)
+
+            return ddim_sample_loop(dcfg, sched_re, model_fn, key, cond)
+        return run_ddim
+
+    def make_dpm(ns, steps, order):
+        @jax.jit
+        def run_dpm(p, key):
             c = cache_fn(p)
 
             def x0_model(xx, t_input):
@@ -133,50 +158,80 @@ def main():
             return solver.sample(xT, steps=steps, order=order,
                                  method="multistep",
                                  skip_type="time_uniform")
+        return run_dpm
 
-        t0 = time.time()
-        s = run_dpm(params, jax.random.PRNGKey(0))
-        s.block_until_ready()
-        rows.append((f"DPM-Solver++ o{order}", steps, metrics_for(s),
-                     time.time() - t0))
-        print(f"dpm o{order} s{steps} done", flush=True)
+    # one fixed protocol schedule for groups A/B/C
+    betas25 = make_beta_schedule("cosine", 25, cosine_s=8e-3)
+    sched25 = schedule_from_betas(betas25)
 
-    keys = list(rows[0][2].keys())
+    # A. protocol baseline
+    sched_re, _ = respace(sched25, "ddim25")
+    run_seeds("A", "DDIM-25 (protocol, cosine T=25)", 25,
+              make_ddim(sched_re))
+
+    # B. DDIM-k respacings of the SAME schedule
+    for k in (20, 15, 10, 5):
+        re_k, _ = respace(sched25, f"ddim{k}")
+        run_seeds("B", f"DDIM-{k} (respaced T=25)", k, make_ddim(re_k))
+
+    # C. DPM on the protocol's own discrete T=25 schedule
+    ns25 = NoiseScheduleVP("discrete", betas=betas25)
+    for steps in (20, 15, 10, 5):
+        run_seeds("C", f"DPM++ o2 (discrete T=25)", steps,
+                  make_dpm(ns25, steps, 2))
+
+    # D. DPM on cosine T=500 (the round-3 configuration)
+    ns500 = NoiseScheduleVP(
+        "discrete", betas=make_beta_schedule("cosine", T_LONG, cosine_s=8e-3))
+    for order, steps in [(2, 20), (2, 15), (2, 10), (3, 10), (2, 5)]:
+        run_seeds("D", f"DPM++ o{order} (cosine T=500)", steps,
+                  make_dpm(ns500, steps, order))
+
+    keys = list(rows[0][3].keys())
     lines = [
-        "# NFE_STUDY — sampling quality vs NFE (trained weights)",
+        "# NFE_STUDY — sampling quality vs NFE, disentangled "
+        "(trained weights)",
         "",
-        f"Weights: {desc} (synthetic WV3 8-band 64x64, residual x_start "
-        "objective). Baseline: the eval protocol's cosine T=25 identity "
-        "ddim25 respacing; DPM rows integrate a cosine T=500 schedule. "
-        "Held-out synthetic test set, same x_T seed; "
-        "`sr=(sample+lms).clip(0,1)`; AnalysisPanAcc metrics.",
+        f"Weights: {desc}. Test set: {args.data} synthetic WV3 8-band "
+        f"64x64 (n={N_TEST}, held out), residual x_start objective, "
+        f"`sr=(sample+lms).clip(0,1)`, AnalysisPanAcc metrics, "
+        f"{len(XT_SEEDS)} x_T seeds per row (mean +/- std).",
         "",
-        "| sampler | NFE | " + " | ".join(keys) + " | wall (first run, s) |",
-        "|---|---|" + "---|" * (len(keys) + 1),
+        "Groups: **A** protocol baseline (DDIM-25, cosine T=25); **B** "
+        "DDIM-k respacings of the same T=25 schedule (pure step-skipping); "
+        "**C** DPM-Solver++ integrating the same discrete T=25 schedule "
+        "(solver error at equal schedule: C-B at equal NFE); **D** "
+        "DPM-Solver++ on cosine T=500 (schedule/conditioning mismatch: "
+        "D-C at equal NFE).",
+        "",
+        "| grp | sampler | NFE | "
+        + " | ".join(keys) + " | wall 3 seeds (s) |",
+        "|---|---|---|" + "---|" * (len(keys) + 1),
     ]
-    base = rows[0][2]
-    for name, nfe, m, wall in rows:
-        vals = " | ".join(f"{m[k]:.4f}" for k in keys)
-        lines.append(f"| {name} | {nfe} | {vals} | {wall:.1f} |")
+    for group, name, nfe, mean, std, wall in rows:
+        vals = " | ".join(f"{mean[k]:.4f}±{std[k]:.4f}" for k in keys)
+        lines.append(f"| {group} | {name} | {nfe} | {vals} | {wall:.1f} |")
+    base = rows[0][3]
     lines += [
         "",
-        "Deltas vs the DDIM-25 protocol baseline:",
+        "Deltas vs the DDIM-25 protocol baseline (mean over seeds):",
         "",
-        "| sampler | NFE | " + " | ".join(f"d{k}" for k in keys) + " |",
-        "|---|---|" + "---|" * len(keys),
+        "| grp | sampler | NFE | " + " | ".join(f"d{k}" for k in keys) + " |",
+        "|---|---|---|" + "---|" * len(keys),
     ]
-    for name, nfe, m, _ in rows[1:]:
+    for group, name, nfe, mean, _, _ in rows[1:]:
         vals = " | ".join(
-            f"{(m[k] - base[k]) / (abs(base[k]) + 1e-12):+.2%}"
+            f"{(mean[k] - base[k]) / (abs(base[k]) + 1e-12):+.2%}"
             for k in keys)
-        lines.append(f"| {name} | {nfe} | {vals} |")
+        lines.append(f"| {group} | {name} | {nfe} | {vals} |")
     lines += [
         "",
         "Reading: NFE is the serving-cost axis (sampling throughput scales "
-        "~1/NFE). Deltas within the seed-to-seed spread measured in "
-        "PARITY_E2E.md (<0.01%) are noise.",
+        "~1/NFE). At equal NFE, (C-B) is the solver's contribution and "
+        "(D-C) the schedule-mismatch contribution to the quality delta; "
+        "deltas within the seed std are noise.",
     ]
-    out = os.path.join(os.path.dirname(os.path.dirname(
+    out = args.out or os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "NFE_STUDY.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -76,6 +76,28 @@ def test_fp8_model_flag_runs():
     p0 = m0.init({"params": jax.random.PRNGKey(2)}, x, t, cond,
                  train=False)["params"]
     ref = m0.apply({"params": p0}, x, t, cond, train=False)
-    out = m8.apply({"params": p0}, x, t, cond, train=False)
+    import pytest
+    with pytest.warns(UserWarning, match="fp8.*no effect"):
+        # on CPU the flash gate is closed: the flag warns and falls back
+        out = m8.apply({"params": p0}, x, t, cond, train=False)
     # 16x16 = 256 tokens <= chunk threshold -> same dense path, identical
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_fp8_flag_warns_when_flash_gate_not_taken():
+    """ADVICE r3: SelfAttention(fp8=True) must not silently no-op — on a
+    non-TPU backend (or off-granularity token counts) it warns once that
+    the plain path is running."""
+    import warnings
+
+    import jax
+    from difpan_tpu.models.common import SelfAttention
+
+    attn = SelfAttention(n_head=2, norm_groups=1, fp8=True)
+    x = jnp.ones((1, 8, 8, 8))  # 64 tokens: far below the flash gate
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        params = attn.init({"params": jax.random.PRNGKey(0)}, x)
+        attn.apply(params, x)
+    msgs = [str(x.message) for x in w]
+    assert any("fp8" in m and "no effect" in m for m in msgs), msgs

@@ -272,3 +272,69 @@ def test_bad_channel_count_rejected_not_500():
         assert "channels" in json.loads(r.read())["error"] or True
     finally:
         httpd.shutdown()
+
+
+def test_batcher_survives_grouping_error_and_recovers():
+    """ADVICE r3: an exception outside _run_group's try must be delivered
+    to the queued waiters (no infinite hang), and the batcher must keep
+    serving afterwards."""
+    svc = _make_service(batch_window_ms=20.0)
+
+    # poison ONE iteration of the grouping stage: _run_group raising
+    # BaseException-style errors inside the merge loop is the case the
+    # round-3 advice flagged (batcher thread death -> submit hangs)
+    orig = svc._run_group
+    state = {"calls": 0}
+
+    def bad_group(group):
+        state["calls"] += 1
+        if state["calls"] == 1:
+            raise RuntimeError("injected grouping failure")
+        return orig(group)
+
+    svc._run_group = bad_group
+    pan, lms = _batch(1, seed=20)
+    import pytest
+    with pytest.raises(RuntimeError, match="injected"):
+        svc.submit(pan, lms)
+    # batcher still alive: the next submit completes normally
+    sr = svc.submit(pan, lms)
+    assert sr.shape == (1, 16, 16, 4)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.filterwarnings(
+    "ignore::pytest.PytestUnhandledThreadExceptionWarning")
+def test_batcher_restarts_after_loop_death():
+    """If the batcher loop ever exits (error outside the delivery scope),
+    _batcher_started resets (finally-block contract) and the next submit()
+    spawns a fresh batcher — no submit ever hangs on a dead thread."""
+    import pytest
+
+    svc = _make_service(batch_window_ms=20.0)
+    pan, lms = _batch(1, seed=21)
+
+    # poison the queue's get (looked up per call): first raise is hit in
+    # the linger loop -> delivered to the waiting item (submit raises);
+    # second raise hits the top-of-loop get -> the loop DIES via finally;
+    # then restore so the replacement batcher works.
+    orig_get = svc._queue.get
+    state = {"calls": 0}
+
+    def bad_get(*a, **kw):
+        state["calls"] += 1
+        if state["calls"] >= 2:
+            svc._queue.get = orig_get
+        raise SystemError("injected loop death")
+
+    # start the batcher with a successful request first (also compiles)
+    assert svc.submit(pan, lms).shape == (1, 16, 16, 4)
+    svc._queue.get = bad_get
+    with pytest.raises(SystemError, match="injected"):
+        svc.submit(pan, lms)   # linger-get raises -> error delivered
+    # the second bad_get call kills the loop; submit()'s wait loop
+    # re-ensures a fresh batcher, which completes the request
+    sr = svc.submit(pan, lms)
+    assert sr.shape == (1, 16, 16, 4)

@@ -96,6 +96,10 @@ def main():
                    help="e4m3-quantized Q/K/V in the flash-attention path "
                         "(active at >=512px where attention runs on 4096 "
                         "tokens)")
+    p.add_argument("--fp8-conv", action="store_true",
+                   help="e4m3 3x3 convs in every ResnetBlock (the model's "
+                        "FLOP bulk; 2x MXU rate on fp8-native v6e+, "
+                        "upcast elsewhere)")
     p.add_argument("--cond-evict-res", type=int, default=None,
                    help="evict cond-cache entries above this resolution "
                         "(recompute in-scan) — HBM headroom for large "
@@ -148,7 +152,7 @@ def _run(args, metric):
         inner_channel=32, norm_groups=1, channel_mults=(1, 2, 2, 4),
         attn_res=(8,), res_blocks=3, dropout=0.2, image_size=64,
         self_condition=True, use_pallas=args.pallas,
-        fp8_attn=args.fp8_attn)
+        fp8_attn=args.fp8_attn, fp8_conv=args.fp8_conv)
 
     rng = jax.random.PRNGKey(0)
     b, s = args.batch, args.size

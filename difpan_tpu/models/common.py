@@ -47,12 +47,34 @@ class Conv(nn.Module):
     stride: int = 1
     use_bias: bool = True
     feature_group_count: int = 1
+    # e4m3-quantized operands via 9 shifted fp8 GEMMs (ops/fp8_conv.py):
+    # identical param tree, ~2% relative quantization error, 2x MXU rate
+    # on fp8-native TPUs (v6e+); upcast (no speedup) elsewhere. Opt-in.
+    fp8: bool = False
 
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
         pad = (self.kernel_size - 1) // 2
         fan_in = (self.kernel_size ** 2) * (in_ch // self.feature_group_count)
+        if self.fp8 and self.feature_group_count == 1:
+            from ..ops.fp8_conv import fp8_conv
+
+            class _P(nn.Module):
+                """Same param names/shapes/init as nn.Conv(name='conv')."""
+                @nn.compact
+                def __call__(s):
+                    kernel = s.param(
+                        "kernel", torch_kernel_init,
+                        (self.kernel_size, self.kernel_size, in_ch,
+                         self.features))
+                    bias = (s.param("bias", torch_bias_init(fan_in),
+                                    (self.features,))
+                            if self.use_bias else None)
+                    return kernel, bias
+
+            kernel, bias = _P(name="conv")()
+            return fp8_conv(x, kernel, bias, stride=self.stride)
         return nn.Conv(
             features=self.features,
             kernel_size=(self.kernel_size, self.kernel_size),
@@ -250,6 +272,7 @@ class Block(nn.Module):
     groups: int = 32
     dropout: float = 0.0
     use_pallas: bool = False
+    fp8_conv: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -264,7 +287,7 @@ class Block(nn.Module):
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not train,
                            name="drop")(h)
-        return Conv(self.dim_out, 3, name="conv")(h)
+        return Conv(self.dim_out, 3, fp8=self.fp8_conv, name="conv")(h)
 
 
 class ResnetBlock(nn.Module):
@@ -275,6 +298,8 @@ class ResnetBlock(nn.Module):
     use_affine_level: bool = False
     norm_groups: int = 32
     use_pallas: bool = False
+    fp8_conv: bool = False   # e4m3 3x3 convs in both Blocks (the model's
+                             # FLOP bulk); the 1x1 res_conv stays full-prec
 
     @nn.compact
     def __call__(self, x, time_emb, *, train: bool = False,
@@ -284,11 +309,12 @@ class ResnetBlock(nn.Module):
         if time_only:
             return fwa(None, time_emb, params_only=True)
         h = Block(self.dim_out, groups=self.norm_groups,
-                  use_pallas=self.use_pallas, name="block1")(x, train=train)
+                  use_pallas=self.use_pallas, fp8_conv=self.fp8_conv,
+                  name="block1")(x, train=train)
         h = fwa(h, time_emb, cached=time_cached)
         h = Block(self.dim_out, groups=self.norm_groups,
                   dropout=self.dropout, use_pallas=self.use_pallas,
-                  name="block2")(h, train=train)
+                  fp8_conv=self.fp8_conv, name="block2")(h, train=train)
         if x.shape[-1] != self.dim_out:
             x = Conv(self.dim_out, 1, name="res_conv")(x)
         return h + x

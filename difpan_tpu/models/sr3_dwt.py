@@ -309,6 +309,7 @@ class ResnetBlocWithAttn(nn.Module):
     encoder: bool = True
     use_pallas: bool = False
     fp8_attn: bool = False
+    fp8_conv: bool = False   # e4m3 3x3 convs in the ResnetBlock
 
     @nn.compact
     def __call__(self, x, time_emb, cond=None, *, train: bool = False,
@@ -358,7 +359,8 @@ class ResnetBlocWithAttn(nn.Module):
             return None
         x = ResnetBlock(self.dim_out, dropout=self.dropout,
                         norm_groups=self.norm_groups,
-                        use_pallas=self.use_pallas, name="res_block")(
+                        use_pallas=self.use_pallas,
+                        fp8_conv=self.fp8_conv, name="res_block")(
             x, time_emb, train=train, time_cached=time_cached)
         if self.with_attn:
             x = SelfAttention(n_head=8, norm_groups=self.norm_groups,
@@ -395,6 +397,10 @@ class UNetSR3DWT(nn.Module):
     pred_var: bool = False
     use_pallas: bool = False
     fp8_attn: bool = False   # e4m3 Q/K/V in the flash-attention path
+    fp8_conv: bool = False   # e4m3 3x3 convs in every ResnetBlock (the
+                             # model's FLOP bulk) — 2x MXU rate on v6e+,
+                             # identical param tree, ~2% quantization
+                             # error (ops/fp8_conv.py; PERF.md)
 
     @nn.compact
     def __call__(self, x, time, cond=None, self_cond=None, *,
@@ -476,6 +482,7 @@ class UNetSR3DWT(nn.Module):
                 dim_out=cm, cond_dim=enc_cond_dim,
                 norm_groups=self.norm_groups, dropout=self.dropout,
                 with_attn=ua, encoder=True, use_pallas=self.use_pallas,
+                fp8_conv=self.fp8_conv,
                 fp8_attn=self.fp8_attn, name=f"down_{ind}_{blk}")
             for (ind, blk, cm, ua) in enc_specs}
         dec_mods = {
@@ -483,17 +490,20 @@ class UNetSR3DWT(nn.Module):
                 dim_out=cm, cond_dim=dec_cond_dim,
                 norm_groups=self.norm_groups, dropout=self.dropout,
                 with_attn=ua, encoder=False, use_pallas=self.use_pallas,
+                fp8_conv=self.fp8_conv,
                 fp8_attn=self.fp8_attn, name=f"up_{ind}_{blk}")
             for (ind, blk, cm, ua, _) in dec_specs}
         mid0 = ResnetBlocWithAttn(
             dim_out=mid_channel, norm_groups=self.norm_groups,
             dropout=self.dropout, with_attn=True,
             use_pallas=self.use_pallas, fp8_attn=self.fp8_attn,
+            fp8_conv=self.fp8_conv,
             name="mid_0")
         mid1 = ResnetBlocWithAttn(
             dim_out=mid_channel, norm_groups=self.norm_groups,
             dropout=self.dropout, with_attn=False,
-            use_pallas=self.use_pallas, name="mid_1")
+            use_pallas=self.use_pallas, fp8_conv=self.fp8_conv,
+            name="mid_1")
 
         if cond_only:
             assert cond is not None

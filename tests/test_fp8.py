@@ -101,3 +101,71 @@ def test_fp8_flag_warns_when_flash_gate_not_taken():
         attn.apply(params, x)
     msgs = [str(x.message) for x in w]
     assert any("fp8" in m and "no effect" in m for m in msgs), msgs
+
+
+# --- fp8 conv (round 4, VERDICT r3 item 9) ----------------------------------
+
+def test_fp8_conv_matches_f32_conv():
+    """9-shifted-GEMM e4m3 conv vs lax.conv f32, stride 1 and 2, with
+    bias: relative error within the e4m3 quantization budget."""
+    from difpan_tpu.ops import fp8_conv
+    rng = np.random.default_rng(0)
+    for stride in (1, 2):
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 8)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 3, 8, 12)) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.normal(size=(12,)), jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, k, (stride, stride), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        out = fp8_conv(x, k, b, stride=stride)
+        assert out.shape == ref.shape
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.05, (stride, rel)
+
+
+def test_fp8_conv_1x1_and_bf16():
+    from difpan_tpu.ops import fp8_conv
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 6)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(1, 1, 6, 4)), jnp.float32)
+    out = fp8_conv(x, k)
+    assert out.dtype == jnp.bfloat16 and out.shape == (1, 8, 8, 4)
+    ref = jnp.einsum("bhwi,io->bhwo", x.astype(jnp.float32), k[0, 0])
+    rel = float(jnp.linalg.norm(out.astype(jnp.float32) - ref)
+                / jnp.linalg.norm(ref))
+    assert rel < 0.05, rel
+
+
+def test_fp8_conv_model_flag_shares_params_and_tracks_reference():
+    """UNetSR3DWT(fp8_conv=True) runs the SAME param tree as the default
+    model (quantization is operand-side, no new params) and its forward
+    stays highly correlated with the full-precision one."""
+    from difpan_tpu.models import UNetSR3DWT
+
+    c, pc = 4, 1
+    kw = dict(in_channel=c, out_channel=c, lms_channel=c, pan_channel=pc,
+              inner_channel=8, norm_groups=1, channel_mults=(1, 2),
+              attn_res=(8,), res_blocks=1, dropout=0.0, image_size=16,
+              self_condition=True)
+    m0 = UNetSR3DWT(**kw)
+    m8 = UNetSR3DWT(**kw, fp8_conv=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, c))
+    t = jnp.array([3])
+    cond = jax.random.normal(jax.random.PRNGKey(1),
+                             (1, 16, 16, 2 * c + 4 * pc))
+    p0 = m0.init({"params": jax.random.PRNGKey(2)}, x, t, cond,
+                 train=False)["params"]
+    p8 = m8.init({"params": jax.random.PRNGKey(2)}, x, t, cond,
+                 train=False)["params"]
+    # identical tree: same paths, same shapes, same values (same init rng)
+    l0 = jax.tree_util.tree_leaves_with_path(p0)
+    l8 = jax.tree_util.tree_leaves_with_path(p8)
+    assert [p for p, _ in l0] == [p for p, _ in l8]
+    for (_, a), (_, b) in zip(l0, l8):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ref = np.asarray(m0.apply({"params": p0}, x, t, cond, train=False))
+    out = np.asarray(m8.apply({"params": p0}, x, t, cond, train=False))
+    corr = np.corrcoef(ref.ravel(), out.ravel())[0, 1]
+    assert corr > 0.99, corr
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.2, rel

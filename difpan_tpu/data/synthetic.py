@@ -219,6 +219,30 @@ def make_wald_hisr_h5(n: int = 4, bands: int = 31, size: int = 64,
             "HSI_up": np.clip(hsi_up, 0, 1).astype(np.float32)}
 
 
+def make_wald_pan_h5_chunked(n: int, channels: int = 8, size: int = 64,
+                             ratio: int = 4, division: float = 2047.0,
+                             seed: int = 0, chunk: int = 1024,
+                             verbose: bool = False) -> Dict[str, np.ndarray]:
+    """Chunked `make_wald_pan_h5` for big n on small hosts: generates in
+    `chunk`-sample pieces (seed*1000+i each — deterministic for a given
+    (n, chunk, seed)) and concatenates. Bounds peak memory to O(chunk)
+    f64 intermediates instead of O(n) (~10 GB at n=8192 single-shot)."""
+    parts = []
+    done = 0
+    i = 0
+    while done < n:
+        m = min(chunk, n - done)
+        parts.append(make_wald_pan_h5(n=m, channels=channels, size=size,
+                                      ratio=ratio, division=division,
+                                      seed=seed * 1000 + i))
+        done += m
+        i += 1
+        if verbose:
+            print(f"[wald gen] {done}/{n}", flush=True)
+    return {k: np.concatenate([p[k] for p in parts], axis=0)
+            for k in parts[0]}
+
+
 def make_synthetic_hisr_h5(n: int = 4, bands: int = 31, size: int = 64,
                            ratio: int = 4, seed: int = 0
                            ) -> Dict[str, np.ndarray]:

@@ -112,9 +112,10 @@ def main():
             n_ch, pan_ch = 31, 3
         else:
             if args.data == "wald":
-                from difpan_tpu.data.synthetic import make_wald_pan_h5
-                gen = lambda n, seed: make_wald_pan_h5(
-                    n=n, channels=8, size=64, division=2047.0, seed=seed)
+                from difpan_tpu.data.synthetic import make_wald_pan_h5_chunked
+                gen = lambda n, seed: make_wald_pan_h5_chunked(
+                    n=n, channels=8, size=64, division=2047.0, seed=seed,
+                    verbose=True)
             else:
                 gen = lambda n, seed: make_synthetic_pan_h5(
                     n=n, channels=8, size=64, division=2047.0, seed=seed)

@@ -181,3 +181,12 @@ def test_wald_hisr_generator():
     ds = HISRDataSets(d, wavelets=True)
     rgb, up, gt, wav = ds[0]
     assert gt.shape == (64, 64, 31)
+
+
+def test_wald_chunked_generator_deterministic():
+    from difpan_tpu.data.synthetic import make_wald_pan_h5_chunked
+    d1 = make_wald_pan_h5_chunked(n=6, channels=4, size=32, seed=9, chunk=4)
+    d2 = make_wald_pan_h5_chunked(n=6, channels=4, size=32, seed=9, chunk=4)
+    assert d1["gt"].shape == (6, 4, 32, 32)
+    for k in d1:
+        np.testing.assert_array_equal(d1[k], d2[k])

@@ -1,17 +1,23 @@
 #!/bin/bash
 # 400k-iteration reference-schedule run (VERDICT r3 item 1) with
-# auto-restart: train_real.py auto-resumes from the latest checkpoint, so
-# tunnel outages / OOM kills only cost the iterations since the last
-# validation. Reference schedule: /root/reference/diffusion_engine.py
-# :52-76,183-209 (400k iters, b128, AdamW 1e-4, MultiStepLR
-# 100k/200k/350k gamma 0.2, EMA 0.995 from 20k).
+# auto-restart and a stale-progress watchdog: train_real.py auto-resumes
+# from the latest checkpoint, so tunnel outages / OOM kills / hangs only
+# cost the iterations since the last validation. Reference schedule:
+# /root/reference/diffusion_engine.py:52-76,183-209 (400k iters, b128,
+# AdamW 1e-4, MultiStepLR 100k/200k/350k gamma 0.2, EMA 0.995 from 20k).
+#
+# The axon tunnel's outage mode is an indefinite hang at backend init —
+# a hung attempt often completes the moment the tunnel recovers, so the
+# watchdog only kills an attempt when driver.log has been silent for
+# STALE_S seconds (default 45 min: longer than a cold remote compile).
 #
 # Usage: bash scripts/run_400k.sh [max_restarts]
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site
 OUT=runs/real_train_wald
 ITERS=${ITERS:-400000}
-MAX_RESTARTS=${1:-100}
+MAX_RESTARTS=${1:-200}
+STALE_S=${STALE_S:-2700}
 mkdir -p "$OUT"
 for i in $(seq 1 "$MAX_RESTARTS"); do
   if [ -f "$OUT/DONE.json" ]; then
@@ -22,7 +28,24 @@ for i in $(seq 1 "$MAX_RESTARTS"); do
   python scripts/train_real.py \
       --iters "$ITERS" --data wald --n-train 8192 --n-valid 64 \
       --steps-per-call 50 --valid-every 5000 \
-      --out "$OUT" >> "$OUT/driver.log" 2>&1
+      --out "$OUT" >> "$OUT/driver.log" 2>&1 &
+  pid=$!
+  echo "$pid" > "$OUT/train.pid"
+  # watchdog: kill only on prolonged silence (init hang / wedged client)
+  while kill -0 "$pid" 2>/dev/null; do
+    sleep 120
+    now=$(date +%s)
+    mt=$(stat -c %Y "$OUT/driver.log" 2>/dev/null || echo "$now")
+    if [ $((now - mt)) -gt "$STALE_S" ]; then
+      echo "[run_400k] attempt $i stale >${STALE_S}s — killing $pid" \
+          | tee -a "$OUT/restarts.log"
+      kill "$pid" 2>/dev/null
+      sleep 10
+      kill -9 "$pid" 2>/dev/null
+      break
+    fi
+  done
+  wait "$pid" 2>/dev/null
   rc=$?
   echo "[run_400k] attempt $i exited rc=$rc $(date -u +%FT%TZ)" \
       | tee -a "$OUT/restarts.log"

@@ -169,9 +169,12 @@ def main():
     run_seeds("A", "DDIM-25 (protocol, cosine T=25)", 25,
               make_ddim(sched_re))
 
-    # B. DDIM-k respacings of the SAME schedule
+    # B. k-step respacings of the SAME schedule. The "ddimN" form requires
+    # an integer stride (`diffusion_ddpm_pan.py:551-558`) which does not
+    # exist for 20/15/10 out of T=25, so B uses the reference's
+    # section-counts form (frac-stride spreading, `:559-581`) uniformly.
     for k in (20, 15, 10, 5):
-        re_k, _ = respace(sched25, f"ddim{k}")
+        re_k, _ = respace(sched25, [k])
         run_seeds("B", f"DDIM-{k} (respaced T=25)", k, make_ddim(re_k))
 
     # C. DPM on the protocol's own discrete T=25 schedule
@@ -198,7 +201,9 @@ def main():
         f"{len(XT_SEEDS)} x_T seeds per row (mean +/- std).",
         "",
         "Groups: **A** protocol baseline (DDIM-25, cosine T=25); **B** "
-        "DDIM-k respacings of the same T=25 schedule (pure step-skipping); "
+        "DDIM-k respacings of the same T=25 schedule (pure step-skipping; "
+        "frac-stride section form since T=25 has no integer ddimN stride "
+        "for 20/15/10); "
         "**C** DPM-Solver++ integrating the same discrete T=25 schedule "
         "(solver error at equal schedule: C-B at equal NFE); **D** "
         "DPM-Solver++ on cosine T=500 (schedule/conditioning mismatch: "

@@ -23,6 +23,10 @@ for i in $(seq 1 "$MAX_RESTARTS"); do
   if [ -f "$OUT/DONE.json" ]; then
     echo "[run_400k] DONE.json present — finished"; break
   fi
+  # cooperative pause: `touch $OUT/PAUSE` frees the TPU for another job
+  # (CAVE continuation, bench_extra); `rm $OUT/PAUSE` resumes from the
+  # latest checkpoint.
+  while [ -f "$OUT/PAUSE" ]; do sleep 20; done
   echo "[run_400k] launch attempt $i/$MAX_RESTARTS $(date -u +%FT%TZ)" \
       | tee -a "$OUT/restarts.log"
   python scripts/train_real.py \
@@ -34,6 +38,14 @@ for i in $(seq 1 "$MAX_RESTARTS"); do
   # watchdog: kill only on prolonged silence (init hang / wedged client)
   while kill -0 "$pid" 2>/dev/null; do
     sleep 120
+    if [ -f "$OUT/PAUSE" ]; then
+      echo "[run_400k] PAUSE requested — stopping $pid" \
+          | tee -a "$OUT/restarts.log"
+      kill "$pid" 2>/dev/null
+      sleep 10
+      kill -9 "$pid" 2>/dev/null
+      break
+    fi
     now=$(date +%s)
     mt=$(stat -c %Y "$OUT/driver.log" 2>/dev/null || echo "$now")
     if [ $((now - mt)) -gt "$STALE_S" ]; then

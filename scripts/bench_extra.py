@@ -30,6 +30,9 @@ CONFIGS = [
     {"name": "ddim25_protocol_256px_b24", "args": ["--sampler", "ddim"]},
     {"name": "dpm20_512px_b8_fp8attn",
      "args": ["--size", "512", "--batch", "8", "--fp8-attn"]},
+    # round-4 e4m3 conv path (PERF.md: expected flat-to-slower on this
+    # v5e-rate tunnel, the v6e+ integration point — measured, not assumed)
+    {"name": "dpm20_256px_b24_fp8conv", "args": ["--fp8-conv"]},
     # cond-cache eviction path (b12 OOMs without it — PERF.md round 3)
     {"name": "dpm20_512px_b12_evict256",
      "args": ["--size", "512", "--batch", "12", "--cond-evict-res", "256"]},

@@ -86,6 +86,13 @@ def main():
     scalars_path = os.path.join(args.out, "scalars.jsonl")
     valid_path = os.path.join(args.out, "valid.jsonl")
 
+    # fail fast on a dead tunnel BEFORE the ~6-min npz load: the outage
+    # mode is UNAVAILABLE at first backend touch (~25 min inside jax init),
+    # so probing here makes run_400k.sh's retry loop poll the tunnel at the
+    # fastest possible cadence instead of paying data load per attempt
+    print(f"[train_real] probing backend "
+          f"({len(jax.devices())} device(s) up)", flush=True)
+
     # generate-or-load: the wald set takes ~75 ms/sample on this 1-core
     # host (~10 min at n=8192), so cache it next to the run — auto-resume
     # relaunches must not pay generation again

@@ -215,6 +215,23 @@ def test_dpm_sampler_preset():
     assert not np.allclose(a, c)   # different sampler, different trajectory
 
 
+def test_ddim_frac_stride_respacing_preset():
+    """The recommended cheap-serving preset (NFE_STUDY.md round 4): DDIM-k
+    respacing via the section-counts form, for k with no integer ddimN
+    stride out of the base schedule (here 7 out of T=20)."""
+    svc = _make_service(sampler="ddim", n_steps=20, section_counts="7")
+    assert svc.sched_re.num_timesteps == 7
+    pan, lms = _batch(2, seed=8)
+    a = svc.sample(pan, lms, seed=13)
+    b = svc.sample(pan, lms, seed=13)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (2, 16, 16, 4)
+    assert np.all(a >= 0) and np.all(a <= 1)
+    full = _make_service(sampler="ddim", n_steps=20,
+                         section_counts="ddim20").sample(pan, lms, seed=13)
+    assert not np.allclose(a, full)   # genuinely fewer steps
+
+
 def test_dpm_preset_with_default_section_counts_constructs():
     """Regression: sampler="dpm" must not build (and so not validate) the
     DDIM respacing — n_steps=20 with the default section_counts='ddim25'

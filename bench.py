@@ -223,7 +223,9 @@ def _run(args, metric):
                 model_type="x_start")
             solver = DPMSolver(
                 model_fn, ns, algorithm_type="dpmsolver++",
-                correcting_x0_fn=lambda x0, t: jnp.clip(x0, -1, 1))
+                # engine-protocol data range (see serve.py / NFE_STUDY.md);
+                # clip bounds don't affect throughput
+                correcting_x0_fn=lambda x0, t: jnp.clip(x0, 0, 1))
             xT = jax.random.normal(key, (b, s, s, c), dtype)
             return solver.sample(xT, steps=args.steps, order=2,
                                  method="multistep", skip_type="time_uniform")

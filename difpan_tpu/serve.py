@@ -194,9 +194,14 @@ class SamplerService:
                     return out.astype(jnp.float32)
 
                 model_fn = model_wrapper(x0_model, ns, model_type="x_start")
+                # same x0 clamp as the DDIM protocol path (dcfg
+                # clamp_range): the reference's (-1,1) belongs to its
+                # [-1,1]-data pansharpen_model family, not the engine
+                # protocol (NFE_STUDY.md round 4: ~9% SAM win)
                 solver = DPMSolver(
                     model_fn, ns, algorithm_type="dpmsolver++",
-                    correcting_x0_fn=lambda x0, t: jnp.clip(x0, -1, 1))
+                    correcting_x0_fn=lambda x0, t: jnp.clip(
+                        x0, *self.dcfg.clamp_range))
                 xT = jax.random.normal(key, lms.shape)
                 s = solver.sample(xT, steps=steps, order=order,
                                   method="multistep",

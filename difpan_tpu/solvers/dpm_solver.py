@@ -162,18 +162,36 @@ def model_wrapper(
     guidance_scale: float = 1.0,
     classifier_fn: Optional[Callable] = None,
     classifier_kwargs: Optional[dict] = None,
+    input_time_mode: str = "reference",
 ):
     """Wrap a noise/x_start/v/score model (+ uncond / classifier /
     classifier-free guidance) into ``model_fn(x, t_continuous) -> noise``
-    (`dpm_solver.py:178-342`)."""
+    (`dpm_solver.py:178-342`).
+
+    ``input_time_mode`` selects how continuous solver time maps to the
+    denoiser's time input on DISCRETE schedules:
+
+    * ``"reference"`` — the reference's ``(t - 1/N) * 1000`` scaling
+      (`dpm_solver.py:244-249`), i.e. a virtual 1000-step index axis.
+    * ``"index"`` — the (fractional) index on the schedule's own grid,
+      ``t * N - 1`` in [0, N-1]: exactly the axis the DDIM protocol
+      conditions on (`diffusion_ddpm_pan.py:668-681` passes raw respaced
+      indices 0..N-1). For checkpoints trained/evaluated with raw-index
+      conditioning the reference scaling is far out of distribution at
+      small N — NFE_STUDY.md round 4 measures +44-53% SAM for DPM++ on
+      the discrete T=25 protocol schedule, which this mode removes.
+    """
     assert model_type in ("noise", "x_start", "v", "score")
     assert guidance_type in ("uncond", "classifier", "classifier-free")
+    assert input_time_mode in ("reference", "index")
     model_kwargs = model_kwargs or {}
     classifier_kwargs = classifier_kwargs or {}
     ns = noise_schedule
 
     def get_model_input_time(t_continuous):
         if ns.schedule == "discrete":
+            if input_time_mode == "index":
+                return t_continuous * ns.total_N - 1.0
             return (t_continuous - 1.0 / ns.total_N) * 1000.0
         return t_continuous
 

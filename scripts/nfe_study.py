@@ -141,7 +141,7 @@ def main():
             return ddim_sample_loop(dcfg, sched_re, model_fn, key, cond)
         return run_ddim
 
-    def make_dpm(ns, steps, order):
+    def make_dpm(ns, steps, order, input_time_mode="reference"):
         @jax.jit
         def run_dpm(p, key):
             c = cache_fn(p)
@@ -150,10 +150,11 @@ def main():
                 return model.apply({"params": p}, xx, t_input, None,
                                    train=False, cond_cache=c)
 
-            model_fn = model_wrapper(x0_model, ns, model_type="x_start")
+            model_fn = model_wrapper(x0_model, ns, model_type="x_start",
+                                     input_time_mode=input_time_mode)
             solver = DPMSolver(
                 model_fn, ns, algorithm_type="dpmsolver++",
-                correcting_x0_fn=lambda x0, t: jnp.clip(x0, -1, 1))
+                correcting_x0_fn=lambda x0, t: jnp.clip(x0, 0, 1))
             xT = jax.random.normal(key, cond.shape[:3] + (CHANNELS,))
             return solver.sample(xT, steps=steps, order=order,
                                  method="multistep",
@@ -183,6 +184,15 @@ def main():
         run_seeds("C", f"DPM++ o2 (discrete T=25)", steps,
                   make_dpm(ns25, steps, 2))
 
+    # E. group C with index-mode conditioning (round-4 model_wrapper
+    # option): same solver, same discrete T=25 schedule, but the denoiser
+    # is conditioned on the schedule's own (fractional) index axis like
+    # the DDIM protocol, instead of the reference's virtual 1000-step
+    # scaling — isolates how much of C's gap is conditioning vs solver
+    for steps in (20, 10, 5):
+        run_seeds("E", "DPM++ o2 (discrete T=25, index cond)", steps,
+                  make_dpm(ns25, steps, 2, input_time_mode="index"))
+
     # D. DPM on cosine T=500 (the round-3 configuration)
     ns500 = NoiseScheduleVP(
         "discrete", betas=make_beta_schedule("cosine", T_LONG, cosine_s=8e-3))
@@ -205,9 +215,12 @@ def main():
         "frac-stride section form since T=25 has no integer ddimN stride "
         "for 20/15/10); "
         "**C** DPM-Solver++ integrating the same discrete T=25 schedule "
-        "(solver error at equal schedule: C-B at equal NFE); **D** "
-        "DPM-Solver++ on cosine T=500 (schedule/conditioning mismatch: "
-        "D-C at equal NFE).",
+        "(solver error at equal schedule: C-B at equal NFE); **E** "
+        "group C with `model_wrapper(input_time_mode='index')` — the "
+        "denoiser conditioned on the schedule's own index axis like the "
+        "DDIM protocol (C-E isolates the conditioning share of C's gap); "
+        "**D** DPM-Solver++ on cosine T=500 (schedule/conditioning "
+        "mismatch: D-C at equal NFE).",
         "",
         "| grp | sampler | NFE | "
         + " | ".join(keys) + " | wall 3 seeds (s) |",

@@ -149,6 +149,38 @@ def test_x_start_wrapper_self_consistency():
                                atol=2e-1)
 
 
+def test_input_time_mode_index():
+    """input_time_mode="index" conditions the denoiser on the discrete
+    schedule's own (fractional) index axis: continuous t=i/N maps to
+    i-1, so the grid spans exactly [0, N-1] like the DDIM protocol's
+    respaced indices (vs the reference's (t-1/N)*1000 virtual axis)."""
+    ns = _ns()
+    x = _x0()
+
+    def t_echo(xx, t_input, cond=None):
+        return jnp.broadcast_to(
+            jnp.reshape(t_input, (-1, 1, 1, 1)).astype(xx.dtype), xx.shape)
+
+    mf_idx = model_wrapper(t_echo, ns, model_type="noise",
+                           input_time_mode="index")
+    mf_ref = model_wrapper(t_echo, ns, model_type="noise")
+    for t_cont in (1.0 / ns.total_N, 0.37, 1.0):
+        tc = jnp.full((x.shape[0],), t_cont)
+        got_idx = float(mf_idx(x, tc)[0, 0, 0, 0])
+        got_ref = float(mf_ref(x, tc)[0, 0, 0, 0])
+        np.testing.assert_allclose(got_idx, t_cont * ns.total_N - 1.0,
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            got_ref, (t_cont - 1.0 / ns.total_N) * 1000.0,
+            rtol=1e-5, atol=1e-4)
+    # the index grid spans [0, N-1]
+    assert abs(float(mf_idx(x, jnp.full((x.shape[0],), 1.0))[0, 0, 0, 0])
+               - (ns.total_N - 1)) < 1e-3
+
+    with pytest.raises(AssertionError):
+        model_wrapper(_model, ns, input_time_mode="bogus")
+
+
 def test_multistep_is_jittable_and_scan_based():
     ns = _ns()
     solver = DPMSolver(model_wrapper(_model, ns, model_type="noise"), ns)

@@ -237,7 +237,7 @@ def test_sharded_dpm_sampler_matches_unsharded():
 
     model_fn = model_wrapper(x0_model, ns, model_type="x_start")
     solver = DPMSolver(model_fn, ns, algorithm_type="dpmsolver++",
-                       correcting_x0_fn=lambda x0, t: jnp.clip(x0, -1, 1))
+                       correcting_x0_fn=lambda x0, t: jnp.clip(x0, 0, 1))
     xT = jax.random.normal(key, lms.shape)
     ref = jnp.clip(solver.sample(xT, steps=4, order=2, method="multistep",
                                  skip_type="time_uniform") + lms, 0.0, 1.0)
@@ -398,7 +398,7 @@ def test_dp_sp_2d_mesh_dpm_sampler_runs():
 
     solver = DPMSolver(model_wrapper(x0_model, ns, model_type="x_start"),
                        ns, algorithm_type="dpmsolver++",
-                       correcting_x0_fn=lambda x0, t: jnp.clip(x0, -1, 1))
+                       correcting_x0_fn=lambda x0, t: jnp.clip(x0, 0, 1))
     xT = jax.random.normal(key, lms_p.shape)
     ref = solver.sample(xT, steps=3, order=2, method="multistep",
                         skip_type="time_uniform")

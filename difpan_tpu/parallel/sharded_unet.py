@@ -475,7 +475,9 @@ def make_sharded_sampler(model, mesh, dcfg, sched_respaced,
 
 def make_sharded_dpm_sampler(model, mesh, betas, *, steps: int = 20,
                              order: int = 2, axis_name: str = "data",
-                             clamp_range=(0.0, 1.0)):
+                             clamp_range=(0.0, 1.0),
+                             skip_type: str = "time_uniform",
+                             denoise_to_zero: bool = False):
     """H-sharded DPM-Solver++ sampling — the fast-sampler counterpart of
     `make_sharded_sampler`: the multistep solver scan drives the
     shard_map'd UNet (cond features hoisted once per sample), so a single
@@ -517,7 +519,8 @@ def make_sharded_dpm_sampler(model, mesh, betas, *, steps: int = 20,
             correcting_x0_fn=lambda x0, t: jnp.clip(x0, *clamp_range))
         xT = jax.random.normal(key, lms.shape)
         s = solver.sample(xT, steps=steps, order=order, method="multistep",
-                          skip_type="time_uniform")
+                          skip_type=skip_type,
+                          denoise_to_zero=denoise_to_zero)
         return jnp.clip(s + lms, 0.0, 1.0)[:b0, :h0, :w0]
 
     return jax.jit(sample)

@@ -96,11 +96,12 @@ class SamplerService:
             loss_type="l1", clamp_range=(0.0, 1.0), self_condition=True,
             pred_var=pred_var)
         # sampler="ddim": the eval protocol (cosine T=n_steps, identity
-        # ddim respacing). sampler="dpm": reduced-NFE serving preset —
-        # DPM-Solver++ multistep (order `dpm_order`, n_steps NFE)
-        # integrating a cosine T=500 schedule; NFE_STUDY.md quantifies the
+        # ddim respacing). sampler="dpm": DPM-Solver++ multistep (order
+        # `dpm_order`, n_steps NFE); NFE_STUDY.md quantifies the
         # quality/NFE trade.
         assert sampler in ("ddim", "dpm"), sampler
+        if sampler == "dpm" and n_steps < 2:
+            raise ValueError("dpm preset needs n_steps >= 2")
         self.sampler = sampler
         self.n_steps = n_steps
         self.dpm_order = dpm_order
@@ -117,7 +118,23 @@ class SamplerService:
             # building the DDIM respacing here would reject e.g.
             # (n_steps=20, 'ddim25') even though it is never sampled
             self.sched_re = None
-        self.dpm_betas = make_beta_schedule("cosine", 500, cosine_s=8e-3)
+        # round-4 DPM preset (NFE_STUDY.md group G): when the requested
+        # NFE fits the protocol schedule's grid, integrate the SAME
+        # discrete cosine T=25 the DDIM protocol samples, with
+        # grid-aligned steps (exact lambdas) and a final first-order
+        # denoise — at T=25 the solver's t_0 = 1/25 still carries
+        # sigma ~= 0.09 of noise, which is what made the round-3 preset
+        # lose +44% SAM. Larger NFE falls back to the round-3
+        # cosine-T=500 time_uniform configuration.
+        protocol_T = 25
+        if n_steps <= protocol_T:
+            self.dpm_betas = make_beta_schedule("cosine", protocol_T,
+                                                cosine_s=8e-3)
+            self.dpm_skip, self.dpm_denoise = "grid", True
+        else:
+            self.dpm_betas = make_beta_schedule("cosine", 500,
+                                                cosine_s=8e-3)
+            self.dpm_skip, self.dpm_denoise = "time_uniform", False
         self._compiled: "OrderedDict[Tuple[int, int, int], Any]" = \
             OrderedDict()
         self._max_shapes = max_compiled_shapes
@@ -173,7 +190,9 @@ class SamplerService:
         if self.sampler == "dpm":
             from .solvers import DPMSolver, NoiseScheduleVP, model_wrapper
             ns = NoiseScheduleVP("discrete", betas=self.dpm_betas)
-            steps, order = self.n_steps, self.dpm_order
+            # NFE accounting: the final denoise is one model eval
+            steps = self.n_steps - (1 if self.dpm_denoise else 0)
+            order = self.dpm_order
 
             def sample(params, key, pan, lms, wavelets):
                 cond = pack_cond(lms, pan, wavelets)
@@ -205,7 +224,8 @@ class SamplerService:
                 xT = jax.random.normal(key, lms.shape)
                 s = solver.sample(xT, steps=steps, order=order,
                                   method="multistep",
-                                  skip_type="time_uniform")
+                                  skip_type=self.dpm_skip,
+                                  denoise_to_zero=self.dpm_denoise)
                 return jnp.clip(s + lms, 0.0, 1.0)
 
             return sample
@@ -244,8 +264,11 @@ class SamplerService:
                     from .parallel import make_sharded_dpm_sampler
                     fn = make_sharded_dpm_sampler(
                         self.model, self._space_mesh, self.dpm_betas,
-                        steps=self.n_steps, order=self.dpm_order,
-                        axis_name="space")
+                        steps=self.n_steps - (1 if self.dpm_denoise
+                                              else 0),
+                        order=self.dpm_order, axis_name="space",
+                        skip_type=self.dpm_skip,
+                        denoise_to_zero=self.dpm_denoise)
                 elif self._space_mesh is not None:
                     from .parallel import make_sharded_sampler
                     fn = make_sharded_sampler(

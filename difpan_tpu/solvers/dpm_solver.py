@@ -380,6 +380,26 @@ class DPMSolver:
             return np.linspace(t_T, t_0, N + 1)
         elif skip_type == "time_quadratic":
             return np.linspace(t_T ** 0.5, t_0 ** 0.5, N + 1) ** 2
+        elif skip_type == "grid":
+            # round-4 extension (no reference counterpart): place every
+            # step ON the discrete schedule's own grid, so marginal
+            # lambdas are exact (no piecewise-linear interpolation of
+            # log-alpha between knots) and, with
+            # model_wrapper(input_time_mode="index"), the denoiser's time
+            # input hits integer indices exactly like the DDIM protocol.
+            # NFE_STUDY.md round 4: off-grid placement is most of the
+            # DPM-vs-DDIM gap on the T=25 protocol schedule.
+            if self.ns.schedule != "discrete":
+                raise ValueError("skip_type='grid' requires a discrete "
+                                 "noise schedule")
+            i_T = int(round(t_T * self.ns.total_N - 1))
+            i_0 = int(round(t_0 * self.ns.total_N - 1))
+            if N > i_T - i_0:
+                raise ValueError(
+                    f"skip_type='grid': {N} steps need {N + 1} distinct "
+                    f"grid points but [{i_0}, {i_T}] has {i_T - i_0 + 1}")
+            idx = np.round(np.linspace(i_T, i_0, N + 1)).astype(int)
+            return np.asarray(self.ns.t_array, dtype=np.float64)[idx]
         raise ValueError(f"Unsupported skip_type {skip_type}")
 
     # ---- single first/second/third-order updates (traced) --------------

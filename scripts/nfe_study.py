@@ -141,7 +141,8 @@ def main():
             return ddim_sample_loop(dcfg, sched_re, model_fn, key, cond)
         return run_ddim
 
-    def make_dpm(ns, steps, order, input_time_mode="reference"):
+    def make_dpm(ns, steps, order, input_time_mode="reference",
+                 skip_type="time_uniform", denoise_to_zero=False):
         @jax.jit
         def run_dpm(p, key):
             c = cache_fn(p)
@@ -157,8 +158,8 @@ def main():
                 correcting_x0_fn=lambda x0, t: jnp.clip(x0, 0, 1))
             xT = jax.random.normal(key, cond.shape[:3] + (CHANNELS,))
             return solver.sample(xT, steps=steps, order=order,
-                                 method="multistep",
-                                 skip_type="time_uniform")
+                                 method="multistep", skip_type=skip_type,
+                                 denoise_to_zero=denoise_to_zero)
         return run_dpm
 
     # one fixed protocol schedule for groups A/B/C
@@ -183,6 +184,16 @@ def main():
     for steps in (20, 15, 10, 5):
         run_seeds("C", f"DPM++ o2 (discrete T=25)", steps,
                   make_dpm(ns25, steps, 2))
+
+    # G. the round-4 preset: grid-aligned steps (exact lambdas, no
+    # interpolation) + a final first-order denoise to x0 — at T=25 the
+    # solver's t_0 = 1/25 still carries sigma ~= 0.09 of noise, which is
+    # what made plain C rows catastrophic. NFE accounting: steps = NFE-1
+    # solver steps + 1 denoise eval.
+    for nfe in (20, 10, 5):
+        run_seeds("G", "DPM++ o2 (T=25 grid + denoise)", nfe,
+                  make_dpm(ns25, nfe - 1, 2, skip_type="grid",
+                           denoise_to_zero=True))
 
     # E. group C with index-mode conditioning (round-4 model_wrapper
     # option): same solver, same discrete T=25 schedule, but the denoiser
@@ -215,7 +226,10 @@ def main():
         "frac-stride section form since T=25 has no integer ddimN stride "
         "for 20/15/10); "
         "**C** DPM-Solver++ integrating the same discrete T=25 schedule "
-        "(solver error at equal schedule: C-B at equal NFE); **E** "
+        "(solver error at equal schedule: C-B at equal NFE); **G** "
+        "the round-4 preset — grid-aligned steps + final denoise-to-zero "
+        "on the protocol schedule (C-G isolates off-grid placement + the "
+        "residual noise at t_0=1/25 that plain C returns); **E** "
         "group C with `model_wrapper(input_time_mode='index')` — the "
         "denoiser conditioned on the schedule's own index axis like the "
         "DDIM protocol (C-E isolates the conditioning share of C's gap); "

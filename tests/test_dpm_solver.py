@@ -181,6 +181,51 @@ def test_input_time_mode_index():
         model_wrapper(_model, ns, input_time_mode="bogus")
 
 
+def test_grid_skip_type():
+    """skip_type="grid" places every step ON the discrete schedule's own
+    t_array (exact lambdas, no log-alpha interpolation)."""
+    ns = _ns()
+    solver = DPMSolver(model_wrapper(_model, ns, model_type="noise"), ns)
+    N = ns.total_N
+    ts = solver.get_time_steps("grid", 1.0, 1.0 / N, N - 1)
+    np.testing.assert_allclose(ts, ns.t_array[::-1], rtol=0, atol=1e-12)
+    ts5 = solver.get_time_steps("grid", 1.0, 1.0 / N, 5)
+    assert len(ts5) == 6 and ts5[0] == 1.0 and ts5[-1] == 1.0 / N
+    assert all(any(abs(t - g) < 1e-12 for g in ns.t_array) for t in ts5)
+    with pytest.raises(ValueError):   # more steps than grid points
+        solver.get_time_steps("grid", 1.0, 1.0 / N, N)
+    ns_cont = NoiseScheduleVP("linear")
+    solver_cont = DPMSolver(
+        model_wrapper(_model, ns_cont, model_type="noise"), ns_cont)
+    with pytest.raises(ValueError):   # needs a discrete schedule
+        solver_cont.get_time_steps("grid", 1.0, 1e-3, 5)
+
+
+def test_grid_denoise_beats_residual_noise_at_small_T():
+    """On a small-T discrete schedule the plain multistep output at
+    t_0=1/T retains sigma(t_0) of noise; denoise_to_zero removes it.
+    With a perfect x0 model the dz output is exactly x0."""
+    betas = np.linspace(1e-2, 0.2, 8)
+    ns = NoiseScheduleVP("discrete", betas=betas)
+    x0_true = _x0()
+
+    def perfect_x0(x, t_input, cond=None):
+        return x0_true
+
+    mf = model_wrapper(perfect_x0, ns, model_type="x_start")
+    solver = DPMSolver(mf, ns, algorithm_type="dpmsolver++")
+    xT = _x0() * 0.3 + 1.1
+    plain = solver.sample(xT, steps=6, order=1, method="multistep",
+                          skip_type="grid")
+    dz = solver.sample(xT, steps=5, order=1, method="multistep",
+                       skip_type="grid", denoise_to_zero=True)
+    np.testing.assert_allclose(np.asarray(dz), np.asarray(x0_true),
+                               rtol=1e-4, atol=1e-5)
+    # the plain output still carries the t_0 marginal mix
+    assert float(np.abs(np.asarray(plain) - np.asarray(x0_true)).max()) \
+        > 1e-2
+
+
 def test_multistep_is_jittable_and_scan_based():
     ns = _ns()
     solver = DPMSolver(model_wrapper(_model, ns, model_type="noise"), ns)

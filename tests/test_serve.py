@@ -232,6 +232,20 @@ def test_ddim_frac_stride_respacing_preset():
     assert not np.allclose(a, full)   # genuinely fewer steps
 
 
+def test_dpm_preset_grid_denoise_selection():
+    """NFE <= 25 uses the protocol T=25 schedule with grid steps + final
+    denoise (NFE_STUDY.md group G); larger NFE falls back to the round-3
+    cosine-T=500 time_uniform config."""
+    svc = _make_service(sampler="dpm", n_steps=4)
+    assert (len(svc.dpm_betas), svc.dpm_skip, svc.dpm_denoise) == \
+        (25, "grid", True)
+    svc_big = _make_service(sampler="dpm", n_steps=30)
+    assert (len(svc_big.dpm_betas), svc_big.dpm_skip,
+            svc_big.dpm_denoise) == (500, "time_uniform", False)
+    with pytest.raises(ValueError):
+        _make_service(sampler="dpm", n_steps=1)
+
+
 def test_dpm_preset_with_default_section_counts_constructs():
     """Regression: sampler="dpm" must not build (and so not validate) the
     DDIM respacing — n_steps=20 with the default section_counts='ddim25'

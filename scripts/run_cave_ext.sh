@@ -1,0 +1,38 @@
+#!/bin/bash
+# CAVE/MHIF family extension (VERDICT r3 item 4): continue the round-3
+# run (6000 iters, ema_start 4000 — decay phase already real) to 16000,
+# then regenerate the full-res Harvard-shaped whole-image demo from the
+# extended EMA weights. Borrows the chip from the 400k run via its
+# cooperative PAUSE file and returns it afterwards.
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH=/root/repo:/root/.axon_site
+WALD=runs/real_train_wald
+ITERS=${ITERS:-16000}
+
+echo "[cave_ext] pausing the 400k run"
+touch "$WALD/PAUSE"
+# wait for the wald trainer to exit (watchdog kills it within ~2 min)
+for i in $(seq 1 30); do
+  pid=$(cat "$WALD/train.pid" 2>/dev/null || echo "")
+  [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null || break
+  sleep 10
+done
+
+echo "[cave_ext] training cave to $ITERS"
+python scripts/train_real.py \
+    --family cave --iters "$ITERS" --batch-size 32 \
+    --n-train 2048 --n-valid 32 --valid-every 1000 --ema-start 4000 \
+    --steps-per-call 25 --out runs/real_train_cave
+rc=$?
+echo "[cave_ext] train rc=$rc"
+
+if [ "$rc" -eq 0 ]; then
+  echo "[cave_ext] regenerating the whole-image full-res demo"
+  timeout 3600 python scripts/fullres_demo.py --whole-image \
+      --weights runs/real_train_cave/weights --out runs/fullres_whole.json
+  echo "[cave_ext] demo rc=$?"
+fi
+
+echo "[cave_ext] resuming the 400k run"
+rm -f "$WALD/PAUSE"

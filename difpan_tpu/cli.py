@@ -112,16 +112,16 @@ def _add_serve(sub):
                         "config) or solver steps for dpm (20 is the "
                         "headline preset)")
     p.add_argument("--section-counts", default="ddim25",
-                   help="respacing of the ddim schedule; the RECOMMENDED "
-                        "reduced-NFE preset is `--sampler ddim --n-steps 25 "
-                        "--section-counts K` (K=20/15/10/5): NFE_STUDY.md "
-                        "measures it within ~2%% of the full protocol down "
-                        "to K=5, vs +44-53%% SAM for DPM at equal NFE")
+                   help="respacing of the ddim schedule; `--sampler ddim "
+                        "--n-steps 25 --section-counts K` (K=20/15/10/5) "
+                        "is the protocol-exact cheap preset (within ~2.5%% "
+                        "of the full protocol down to K=5, NFE_STUDY.md)")
     p.add_argument("--sampler", default="ddim", choices=["ddim", "dpm"],
-                   help="ddim = eval protocol (and, respaced via "
-                        "--section-counts, the preferred cheap preset); "
-                        "dpm = DPM-Solver++ preset (see NFE_STUDY.md for "
-                        "the quality/NFE trade)")
+                   help="ddim = eval protocol; dpm with n_steps<=25 = "
+                        "DPM-Solver++ on the protocol schedule with "
+                        "grid-aligned steps + final denoise — measured "
+                        "BETTER than the full protocol at NFE 10 "
+                        "(NFE_STUDY.md group G)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--no-ema", dest="use_ema", action="store_false",

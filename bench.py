@@ -100,6 +100,11 @@ def main():
                    help="e4m3 3x3 convs in every ResnetBlock (the model's "
                         "FLOP bulk; 2x MXU rate on fp8-native v6e+, "
                         "upcast elsewhere)")
+    p.add_argument("--dpm-grid", action="store_true",
+                   help="the round-4 serving preset: DPM++ on the protocol "
+                        "T=25 schedule, grid-aligned steps + final denoise "
+                        "(NFE_STUDY.md group G: beats the DDIM-25 protocol "
+                        "at NFE>=5 on the 47.5k checkpoint); NFE = --steps")
     p.add_argument("--cond-evict-res", type=int, default=None,
                    help="evict cond-cache entries above this resolution "
                         "(recompute in-scan) — HBM headroom for large "
@@ -167,8 +172,12 @@ def _run(args, metric):
         params = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16), params)
 
+    # --dpm-grid: the round-4 serving preset (NFE_STUDY.md group G) —
+    # protocol T=25 schedule, grid-aligned steps, final denoise; NFE
+    # (model evals) stays args.steps: steps-1 solver steps + 1 denoise
     ns = NoiseScheduleVP(
-        "discrete", betas=make_beta_schedule("cosine", 500, cosine_s=8e-3))
+        "discrete", betas=make_beta_schedule(
+            "cosine", 25 if args.dpm_grid else 500, cosine_s=8e-3))
 
     cond = jax.random.normal(jax.random.PRNGKey(1), (b, s, s, cond_ch),
                              dtype)
@@ -227,6 +236,10 @@ def _run(args, metric):
                 # clip bounds don't affect throughput
                 correcting_x0_fn=lambda x0, t: jnp.clip(x0, 0, 1))
             xT = jax.random.normal(key, (b, s, s, c), dtype)
+            if args.dpm_grid:
+                return solver.sample(xT, steps=args.steps - 1, order=2,
+                                     method="multistep", skip_type="grid",
+                                     denoise_to_zero=True)
             return solver.sample(xT, steps=args.steps, order=2,
                                  method="multistep", skip_type="time_uniform")
 

@@ -33,6 +33,9 @@ CONFIGS = [
     # round-4 e4m3 conv path (PERF.md: expected flat-to-slower on this
     # v5e-rate tunnel, the v6e+ integration point — measured, not assumed)
     {"name": "dpm20_256px_b24_fp8conv", "args": ["--fp8-conv"]},
+    # the round-4 quality-cheap serving preset at NFE 5: ~4x the headline
+    # throughput at measured-better-than-protocol quality (NFE_STUDY.md G)
+    {"name": "dpmgrid5_256px_b24", "args": ["--dpm-grid", "--steps", "5"]},
     # cond-cache eviction path (b12 OOMs without it — PERF.md round 3)
     {"name": "dpm20_512px_b12_evict256",
      "args": ["--size", "512", "--batch", "12", "--cond-evict-res", "256"]},

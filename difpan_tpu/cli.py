@@ -60,6 +60,15 @@ def _add_test(sub):
     p.add_argument("--n-steps", type=int, default=25,
                    help="schedule length at eval (cosine)")
     p.add_argument("--section-counts", default="ddim25")
+    p.add_argument("--sampler", default="ddim",
+                   choices=["ddim", "dpm-grid"],
+                   help="ddim = the reference eval protocol; dpm-grid = "
+                        "the round-4 reduced-NFE preset (DPM++ o2, "
+                        "grid-aligned steps + final denoise on the same "
+                        "cosine schedule — NFE_STUDY.md group G)")
+    p.add_argument("--nfe", type=int, default=None,
+                   help="model evals for --sampler dpm-grid "
+                        "(default: n_steps)")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--full-res", action="store_true")
     p.add_argument("--save-mat", default=None)
@@ -235,7 +244,8 @@ def cmd_test(args):
         batch_size=args.batch_size, save_mat_path=args.save_mat,
         save_png_dir=args.save_png_dir, model=model, tile=args.tile,
         mesh=mesh, spatial_axis=spatial_axis, pred_var=args.pred_var,
-        cond_evict_res=args.cond_evict_res)
+        cond_evict_res=args.cond_evict_res, sampler=args.sampler,
+        nfe=args.nfe)
     print(metrics)
 
 

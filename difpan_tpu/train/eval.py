@@ -67,6 +67,8 @@ def evaluate(
     spatial_axis: Optional[str] = None,
     pred_var: bool = False,
     cond_evict_res: Optional[int] = None,
+    sampler: str = "ddim",
+    nfe: Optional[int] = None,
 ) -> Dict[str, float]:
     """Run the full eval protocol; returns the averaged metric dict
     (empty for full-res). `test_data` is an h5-like dict or a dataset.
@@ -84,7 +86,12 @@ def evaluate(
     1000x1000 Harvard full-res, `diffusion_engine.py:373-377`). Non-
     divisible sizes are edge-padded and cropped automatically. With a 2-D
     ("data", "space") mesh (`make_mesh_2d`), batch and rows shard
-    together (dp x sp)."""
+    together (dp x sp).
+
+    `sampler`: "ddim" (the reference protocol) or "dpm-grid" — the round-4
+    reduced-NFE preset (DPM-Solver++ o2 on the same cosine T=n_steps
+    schedule, grid-aligned steps + final denoise; NFE_STUDY.md group G).
+    `nfe` caps the model evals for dpm-grid (default n_steps)."""
     spec = get_dataset_spec(dataset_name)
     division = spec.division if division is None else division
     _print = logger.print if logger is not None else print
@@ -108,9 +115,15 @@ def evaluate(
     dcfg = DiffusionConfig(channels=n_ch, pred_mode="x_start",
                            loss_type="l1", clamp_range=(0.0, 1.0),
                            self_condition=True, pred_var=pred_var)
-    sched = schedule_from_betas(
-        make_beta_schedule("cosine", n_steps, cosine_s=8e-3))
-    sched_re, _ = respace(sched, section_counts)
+    assert sampler in ("ddim", "dpm-grid"), sampler
+    betas = make_beta_schedule("cosine", n_steps, cosine_s=8e-3)
+    sched = schedule_from_betas(betas)
+    # the respacing belongs to the ddim protocol path only — building it
+    # for dpm-grid would reject (n_steps=10, 'ddim25') style combinations
+    # that are never sampled
+    sched_re = (respace(sched, section_counts)[0]
+                if sampler == "ddim" else None)
+    nfe = n_steps if nfe is None else nfe
 
     def sample(params, key, pan, lms, wavelets):
         cond = pack_cond(lms, pan, wavelets)
@@ -121,11 +134,32 @@ def evaluate(
                             cond_only=True, cache_max_res=cond_evict_res)
         cond_in = cond if cond_evict_res is not None else None
 
-        def model_fn(x, t, c, sc, k):
-            return model.apply({"params": params}, x, t, cond_in, sc,
-                               train=False, cond_cache=cache)
+        if sampler == "dpm-grid":
+            from ..solvers import DPMSolver, NoiseScheduleVP, model_wrapper
+            ns = NoiseScheduleVP("discrete", betas=betas)
 
-        s = ddim_sample_loop(dcfg, sched_re, model_fn, key, cond)
+            def x0_model(xx, t_input):
+                out = model.apply({"params": params}, xx, t_input, cond_in,
+                                  train=False, cond_cache=cache)
+                if pred_var:
+                    out = jnp.split(out, 2, axis=-1)[0]
+                return out
+
+            solver = DPMSolver(
+                model_wrapper(x0_model, ns, model_type="x_start"), ns,
+                algorithm_type="dpmsolver++",
+                correcting_x0_fn=lambda x0, t: jnp.clip(
+                    x0, *dcfg.clamp_range))
+            xT = jax.random.normal(key, lms.shape)
+            s = solver.sample(xT, steps=nfe - 1, order=2,
+                              method="multistep", skip_type="grid",
+                              denoise_to_zero=True)
+        else:
+            def model_fn(x, t, c, sc, k):
+                return model.apply({"params": params}, x, t, cond_in, sc,
+                                   train=False, cond_cache=cache)
+
+            s = ddim_sample_loop(dcfg, sched_re, model_fn, key, cond)
         return jnp.clip(s + lms, 0.0, 1.0)
 
     if mesh is not None and spatial_axis is not None:
@@ -141,8 +175,15 @@ def evaluate(
                 "cond_evict_res is not supported on the H-sharded path "
                 "(the sharded cond cache is already partitioned over the "
                 "mesh); drop --cond-evict-res or the spatial shard")
-        sample = make_sharded_sampler(model, mesh, dcfg, sched_re,
-                                      axis_name=spatial_axis)
+        if sampler == "dpm-grid":
+            from ..parallel import make_sharded_dpm_sampler
+            sample = make_sharded_dpm_sampler(
+                model, mesh, betas, steps=nfe - 1, order=2,
+                axis_name=spatial_axis, clamp_range=dcfg.clamp_range,
+                skip_type="grid", denoise_to_zero=True)
+        else:
+            sample = make_sharded_sampler(model, mesh, dcfg, sched_re,
+                                          axis_name=spatial_axis)
     elif mesh is not None:
         from ..parallel import batch_sharding, replicated_sharding
         assert batch_size % mesh.size == 0, (

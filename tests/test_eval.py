@@ -45,6 +45,22 @@ def test_evaluate_reduced_res(tmp_path):
     assert os.path.exists(os.path.join(png_dir, "test_part_0.png"))
 
 
+def test_evaluate_dpm_grid_sampler(tmp_path):
+    """--sampler dpm-grid: the round-4 reduced-NFE preset runs through
+    the full eval harness (grid steps + final denoise on the protocol
+    schedule) and differs from the DDIM protocol trajectory."""
+    d = make_synthetic_pan_h5(n=4, channels=4, size=32, division=1023.0)
+    model = _tiny_model()
+    params = _params(model)
+    m_grid = evaluate(d, params, "gf2", n_steps=10, sampler="dpm-grid",
+                      nfe=4, batch_size=4, model=model)
+    assert set(m_grid) == {"SAM", "ERGAS", "PSNR", "CC", "SSIM"}
+    assert all(np.isfinite(v) for v in m_grid.values())
+    m_ddim = evaluate(d, params, "gf2", n_steps=10,
+                      section_counts="ddim5", batch_size=4, model=model)
+    assert any(abs(m_grid[k] - m_ddim[k]) > 1e-9 for k in m_grid)
+
+
 def test_evaluate_full_res(tmp_path):
     d = make_synthetic_pan_h5(n=3, channels=4, size=32, full_res=True)
     model = _tiny_model()

@@ -1,0 +1,44 @@
+#!/bin/bash
+# Snapshot the latest orbax checkpoint of a run into the git-tracked
+# ckpts/ directory and commit it.
+#
+# Why: `runs/` is gitignored, and only git-tracked content survives a VM
+# reset in this environment — the 2026-08-18 08:32 UTC reset wiped the
+# round-3 checkpoints (47.5k-iter WV3 run + the CAVE run). A long run
+# (the 400k reference schedule is ~19 h at 5.9 it/s) must be able to
+# resume from a durable snapshot, not restart from scratch.
+#
+# The snapshot REPLACES the previous one at a fixed path (ckpts/<name>/)
+# so the working tree holds exactly one checkpoint per run; superseded
+# blobs remain only in git history. Run logs (scalars/valid JSONL,
+# RUN_CONFIG) ride along — they're small and make the snapshot
+# self-describing. The checkpoint lives under ckpt/ (not weights/ —
+# that name is gitignored). To resume from a snapshot after a reset:
+#   mkdir -p runs/<run> && cp -r ckpts/<name>/ckpt runs/<run>/weights
+#   (train_real.py auto-resumes from the latest step in weights/)
+#
+# Usage: bash scripts/snapshot_ckpt.sh [run_dir] [name]
+set -eu
+cd "$(dirname "$0")/.."
+RUN=${1:-runs/real_train_wald}
+NAME=${2:-wald}
+DST="ckpts/$NAME"
+
+latest=$(ls "$RUN/weights" | sort -n | tail -1)
+[ -n "$latest" ] || { echo "no checkpoint in $RUN/weights"; exit 1; }
+
+# orbax writes atomically (tmp dir + rename), so the latest completed
+# step dir is safe to copy while training continues
+rm -rf "$DST.tmp"
+mkdir -p "$DST.tmp/ckpt"
+cp -r "$RUN/weights/$latest" "$DST.tmp/ckpt/$latest"
+for f in scalars.jsonl valid.jsonl RUN_CONFIG.json restarts.log; do
+  [ -f "$RUN/$f" ] && cp "$RUN/$f" "$DST.tmp/$f"
+done
+rm -rf "$DST"
+mv "$DST.tmp" "$DST"
+
+git add -A "$DST"
+git commit -m "ckpts/$NAME: durable snapshot at step $latest" -- "$DST" \
+  || echo "[snapshot] nothing to commit"
+echo "[snapshot] $NAME @ step $latest ($(du -sh "$DST" | cut -f1))"

@@ -1,9 +1,13 @@
 #!/bin/bash
-# CAVE/MHIF family extension (VERDICT r3 item 4): continue the round-3
-# run (6000 iters, ema_start 4000 — decay phase already real) to 16000,
-# then regenerate the full-res Harvard-shaped whole-image demo from the
-# extended EMA weights. Borrows the chip from the 400k run via its
-# cooperative PAUSE file and returns it afterwards.
+# CAVE/MHIF family run past the EMA start (VERDICT r3 item 4): 16000
+# iters with ema_start 4000 (lowered vs the reference's 20k and STATED
+# here and in RUN_CONFIG.json — the r3 critique was the lowering being
+# undocumented, not the lowering itself), then regenerate the full-res
+# Harvard-shaped whole-image demo from the EMA weights. The round-3 CAVE
+# checkpoint was lost to the 08-18 VM reset, so this trains from scratch
+# on the round-4 structured Wald HISR data (the discriminative set).
+# Borrows the chip from the 400k run via its cooperative PAUSE file and
+# returns it afterwards.
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site
@@ -21,13 +25,15 @@ done
 
 echo "[cave_ext] training cave to $ITERS"
 python scripts/train_real.py \
-    --family cave --iters "$ITERS" --batch-size 32 \
+    --family cave --data wald --iters "$ITERS" --batch-size 32 \
     --n-train 2048 --n-valid 32 --valid-every 1000 --ema-start 4000 \
     --steps-per-call 25 --out runs/real_train_cave
 rc=$?
 echo "[cave_ext] train rc=$rc"
 
 if [ "$rc" -eq 0 ]; then
+  echo "[cave_ext] durable snapshot"
+  bash scripts/snapshot_ckpt.sh runs/real_train_cave cave
   echo "[cave_ext] regenerating the whole-image full-res demo"
   timeout 3600 python scripts/fullres_demo.py --whole-image \
       --weights runs/real_train_cave/weights --out runs/fullres_whole.json

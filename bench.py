@@ -71,6 +71,49 @@ def wait_for_backend(attempts: int = 5, base_delay: float = 20.0,
                        f"{last}")
 
 
+def pause_local_training(wait_s: float = 420.0) -> list:
+    """The tunnel chip is exclusive: a live training run (scripts/
+    run_400k.sh / run_cave_ext.sh) would wedge the bench at backend init.
+    Those drivers honor a cooperative `PAUSE` file in their run dir and
+    kill their trainer within ~2 minutes, so drop PAUSE next to every
+    live train.pid and wait for the pids to exit. Returns the PAUSE
+    paths created (caller removes them in a finally to resume)."""
+    import glob
+    import os
+    paused = []
+    for pidfile in glob.glob("runs/*/train.pid"):
+        try:
+            pid = int(open(pidfile).read().strip())
+            os.kill(pid, 0)
+        except (ValueError, OSError):
+            continue
+        pause = os.path.join(os.path.dirname(pidfile), "PAUSE")
+        open(pause, "w").close()
+        paused.append((pause, pid))
+        _stage(f"pausing live training (pid {pid}) via {pause}")
+    deadline = time.time() + wait_s
+    for _, pid in paused:
+        while time.time() < deadline:
+            try:
+                os.kill(pid, 0)
+            except OSError:
+                break
+            time.sleep(5)
+    if paused:
+        _stage("training paused; chip free")
+    return [p for p, _ in paused]
+
+
+def resume_local_training(pause_files: list) -> None:
+    import os
+    for p in pause_files:
+        try:
+            os.remove(p)
+            _stage(f"removed {p} — training resumes")
+        except OSError:
+            pass
+
+
 def emit_error(metric: str, err: Exception) -> dict:
     """Persistent failure => still ONE parseable JSON line on stdout."""
     result = {"metric": metric, "value": None, "unit": "MP/s/chip",
@@ -129,11 +172,14 @@ def main():
 
     metric = ("wv3_dpmsolver20_sampling_throughput" if args.sampler == "dpm"
               else "wv3_ddim_protocol_sampling_throughput")
+    paused = [] if args.skip_probe else pause_local_training()
     try:
         return _run(args, metric)
     except Exception as e:           # noqa: BLE001 — headline evidence must
         emit_error(metric, e)        # never be a bare traceback
         sys.exit(1)
+    finally:
+        resume_local_training(paused)
 
 
 def _run(args, metric):

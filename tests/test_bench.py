@@ -42,6 +42,8 @@ def test_forced_failure_emits_structured_json(monkeypatch, capsys):
     parseable JSON line with metric + error (never a bare traceback)."""
     monkeypatch.setattr(bench, "_probe_backend_once",
                         lambda t: (False, "UNAVAILABLE: tunnel down"))
+    # never touch a real live run's PAUSE file from the test suite
+    monkeypatch.setattr(bench, "pause_local_training", lambda **kw: [])
     monkeypatch.setattr(sys, "argv",
                         ["bench.py", "--probe-attempts", "2",
                          "--probe-base-delay", "0"])
@@ -53,3 +55,26 @@ def test_forced_failure_emits_structured_json(monkeypatch, capsys):
     assert parsed["metric"] == "wv3_dpmsolver20_sampling_throughput"
     assert parsed["value"] is None
     assert "UNAVAILABLE" in parsed["error"]
+
+
+def test_pause_local_training_roundtrip(tmp_path, monkeypatch):
+    """The chip is exclusive: bench must drop a PAUSE file next to every
+    LIVE train.pid (the run_400k/run_cave_ext drivers honor it), wait for
+    the pid, and remove the file afterwards. Dead/garbage pids are
+    ignored."""
+    import os
+    monkeypatch.chdir(tmp_path)
+    live = tmp_path / "runs" / "wald"
+    dead = tmp_path / "runs" / "stale"
+    for d in (live, dead):
+        d.mkdir(parents=True)
+    (live / "train.pid").write_text(str(os.getpid()))  # alive (us)
+    (dead / "train.pid").write_text("999999999")       # not a real pid
+
+    paused = bench.pause_local_training(wait_s=0.0)
+    assert [os.path.abspath(p) for p in paused] == [str(live / "PAUSE")]
+    assert (live / "PAUSE").exists()
+    assert not (dead / "PAUSE").exists()
+
+    bench.resume_local_training(paused)
+    assert not (live / "PAUSE").exists()

@@ -43,8 +43,26 @@ CONFIGS = [
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="run only configs whose name contains this "
+                         "substring; results MERGE into the existing "
+                         "BENCH_EXTRA.json instead of replacing it")
+    opts = ap.parse_args()
+
+    path = os.path.join(HERE, "BENCH_EXTRA.json")
     results = {}
-    for cfg in CONFIGS:
+    if opts.only and os.path.exists(path):
+        with open(path) as f:
+            results = json.load(f)
+
+    todo = [c for c in CONFIGS
+            if not opts.only or opts.only in c["name"]]
+    if not todo:
+        print(f"[bench_extra] no config matches --only {opts.only!r}")
+        return
+    for cfg in todo:
         cmd = [sys.executable, os.path.join(HERE, "bench.py")] + cfg["args"]
         print(f"[bench_extra] {cfg['name']}: {' '.join(cmd)}", flush=True)
         try:
@@ -56,7 +74,6 @@ def main():
         except Exception as e:  # record the failure, keep sweeping
             results[cfg["name"]] = {"error": f"{type(e).__name__}: {e}"}
         print(f"[bench_extra] -> {results[cfg['name']]}", flush=True)
-    path = os.path.join(HERE, "BENCH_EXTRA.json")
     with open(path, "w") as f:
         json.dump(results, f, indent=1)
     print(f"[bench_extra] wrote {path}")

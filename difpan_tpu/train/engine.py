@@ -100,6 +100,20 @@ class TrainConfig:
                                      # ~40 MB of batch data. Needs the set
                                      # to fit in HBM (WV3-scale: ~1.3 GB)
                                      # and aug-free batches (pure indexing)
+    device_aug_prob: float = 0.0     # device_data-only: per-sample random
+                                     # H/V flip augmentation applied ON
+                                     # DEVICE inside the jitted gather —
+                                     # the device-resident equivalent of
+                                     # PanDataset.batch's host flips (same
+                                     # semantics: one shared flip decision
+                                     # per sample across every tensor,
+                                     # wavelet planes flipped as stored).
+                                     # Fuses into the gather as elementwise
+                                     # selects: ~free on TPU. Beyond
+                                     # reference (which trains aug-free,
+                                     # `diffusion_engine.py:151`) — counters
+                                     # memorization of finite synthetic
+                                     # pools (RUN.md round-4 note)
     ckpt_dir: str = "./weights"
     run_dir: str = "./runs"
     samples_dir: str = "./samples"
@@ -139,6 +153,29 @@ def _dtype_casts(cfg: TrainConfig):
                 if a.dtype == jnp.float32 else a, t)
         return cast_in, lambda a: a.astype(jnp.float32)
     return (lambda t: t), (lambda a: a)
+
+
+def device_augment(batch, key, prob):
+    """Per-sample random H/V flips applied on device inside the jitted
+    gather (TrainConfig.device_aug_prob). Semantics match
+    PanDataset.batch's host flips (`pan_dataset.py:191-203` parity
+    tensors): NHWC, one shared flip decision per sample across every
+    tensor of the batch tuple, flips_h reverses W (axis 2), flips_v
+    reverses H (axis 1); wavelet planes flip as stored, exactly as the
+    host path does. Elementwise selects — fuses into the gather, ~free
+    on TPU."""
+    kh, kv = jax.random.split(key)
+    b = batch[0].shape[0]
+    fh = jax.random.uniform(kh, (b,)) < prob
+    fv = jax.random.uniform(kv, (b,)) < prob
+
+    def flip(a):
+        mh = fh.reshape((b,) + (1,) * (a.ndim - 1))
+        mv = fv.reshape((b,) + (1,) * (a.ndim - 1))
+        a = jnp.where(mh, jnp.flip(a, axis=2), a)
+        return jnp.where(mv, jnp.flip(a, axis=1), a)
+
+    return tuple(flip(a) for a in batch)
 
 
 def make_train_step(cfg: TrainConfig, model, dcfg, sched, tx,
@@ -281,12 +318,23 @@ def train(
                    else (repl_sh, repl_sh))
     inner_step = make_train_step(cfg, model, dcfg, sched, tx,
                                  with_recon=cfg.show_recon)
+    if cfg.device_aug_prob > 0 and not cfg.device_data:
+        raise ValueError("device_aug_prob needs device_data=True (host "
+                         "batches augment via PanDataset aug_prob instead)")
+
+    def _device_augment(batch, key):
+        return device_augment(batch, key, cfg.device_aug_prob)
+
     if cfg.device_data:
         # device-resident data: jit takes (state, full_dataset, idx, key)
         # and gathers the batch on device — only the index array crosses
         # the host boundary each step
         def gather_step(state, data_all, idx, key):
-            return inner_step(state, tuple(a[idx] for a in data_all), key)
+            batch = tuple(a[idx] for a in data_all)
+            if cfg.device_aug_prob > 0:          # static gate (traced once)
+                key, ak = jax.random.split(key)
+                batch = _device_augment(batch, ak)
+            return inner_step(state, batch, key)
 
         train_step = jax.jit(
             gather_step,
@@ -320,8 +368,11 @@ def train(
         def chain_steps(state, data_all, idx_kb, keys_k):
             def body(st, xs):
                 idx, k = xs
-                st, loss = inner_step(
-                    st, tuple(a[idx] for a in data_all), k)
+                batch = tuple(a[idx] for a in data_all)
+                if cfg.device_aug_prob > 0:      # static gate (traced once)
+                    k, ak = jax.random.split(k)
+                    batch = _device_augment(batch, ak)
+                st, loss = inner_step(st, batch, k)
                 return st, loss
             return jax.lax.scan(body, state, (idx_kb, keys_k))
 
@@ -342,7 +393,8 @@ def train(
             raise ValueError(
                 "device_data gathers batches by pure indexing — host-side "
                 "flip augmentation (aug_prob > 0) would be silently "
-                "dropped; disable one of the two")
+                "dropped; use TrainConfig.device_aug_prob (on-device "
+                "flips) instead")
         # one-time full-set transfer; batches gather on device by index
         full = train_data.batch(np.arange(len(train_data)))
         data_all = tuple(jax.device_put(jnp.asarray(a), repl_sh)

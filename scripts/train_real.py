@@ -45,6 +45,12 @@ def main():
                     help="chain K train steps into one lax.scan dispatch "
                          "(amortizes the tunnel's fixed per-dispatch cost; "
                          "bit-identical to K=1, see engine.py)")
+    ap.add_argument("--device-aug", type=float, default=0.0,
+                    help="on-device per-sample H/V flip probability "
+                         "(TrainConfig.device_aug_prob) — counters "
+                         "memorization of a finite synthetic pool; the "
+                         "reference itself trains aug-free "
+                         "(diffusion_engine.py:151)")
     ap.add_argument("--data", default="smooth", choices=["smooth", "wald"],
                     help="wald = round-4 structured Wald-protocol scenes "
                          "(edges/textures/materials + MTF degradation) — "
@@ -144,6 +150,7 @@ def main():
         # iter 3k). With device_data only a (B,) index array crosses per
         # step.
         device_data=True,
+        device_aug_prob=args.device_aug,
         steps_per_call=args.steps_per_call,
         ckpt_dir=os.path.join(args.out, "weights"),
         run_dir=os.path.join(args.out, "runs"),
@@ -162,6 +169,7 @@ def main():
         "lr": cfg.lr_d, "lr_milestones": [100_000, 200_000, 350_000],
         "lr_gamma": 0.2, "compute_dtype": cfg.compute_dtype,
         "device_data": cfg.device_data,
+        "device_aug_prob": cfg.device_aug_prob,
     }
     with open(os.path.join(args.out, "RUN_CONFIG.json"), "w") as f:
         json.dump(run_config, f, indent=1)

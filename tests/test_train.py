@@ -393,3 +393,99 @@ def test_steps_per_call_must_divide_valid_every():
                       inner_channel=8, channel_mults=(1, 2), res_blocks=1)
     with pytest.raises(ValueError, match="steps_per_call"):
         train(dict(d), dict(d), cfg)
+
+
+def test_device_augment_matches_host_flips():
+    """device_augment (on-device, inside the jitted gather) must apply the
+    SAME transformation PanDataset.batch's host flips do: at prob=1.0 every
+    sample flips both H and V across every tensor of the tuple; at prob=0.0
+    it is the identity."""
+    from difpan_tpu.train.engine import device_augment
+
+    rng = np.random.default_rng(0)
+    batch = tuple(jnp.asarray(rng.normal(size=(4, 8, 8, c)), jnp.float32)
+                  for c in (1, 4, 4, 12))
+    key = jax.random.PRNGKey(3)
+
+    out1 = device_augment(batch, key, 1.0)   # uniform < 1.0 always true
+    for a, o in zip(batch, out1):
+        np.testing.assert_array_equal(
+            np.asarray(o), np.asarray(a)[:, ::-1, ::-1, :])
+
+    out0 = device_augment(batch, key, 0.0)
+    for a, o in zip(batch, out0):
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(a))
+
+
+def test_device_augment_shared_per_sample_decision():
+    """At prob=0.5 each sample draws ONE h and ONE v decision shared by
+    every tensor: wherever tensor 0 flipped, all others must have too."""
+    from difpan_tpu.train.engine import device_augment
+
+    rng = np.random.default_rng(1)
+    batch = tuple(jnp.asarray(rng.normal(size=(16, 8, 8, c)), jnp.float32)
+                  for c in (1, 4))
+    out = device_augment(batch, jax.random.PRNGKey(7), 0.5)
+    for i in range(16):
+        for a, o in zip(batch, out):
+            ai, oi = np.asarray(a)[i], np.asarray(o)[i]
+            match = any(
+                np.array_equal(oi, v) for v in
+                (ai, ai[:, ::-1], ai[::-1, :], ai[::-1, ::-1]))
+            assert match
+        # the realized flip of tensor 0 and tensor 1 must be the same one
+        a0, o0 = np.asarray(batch[0])[i], np.asarray(out[0])[i]
+        a1, o1 = np.asarray(batch[1])[i], np.asarray(out[1])[i]
+        flips = [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+        f0 = {f for f in flips if np.array_equal(o0, a0[::f[0], ::f[1]])}
+        f1 = {f for f in flips if np.array_equal(o1, a1[::f[0], ::f[1]])}
+        assert f0 & f1
+
+
+def test_device_aug_scan_matches_per_step(tmp_path):
+    """steps_per_call chaining must stay bit-identical to K=1 with the
+    on-device augmentation enabled (same key-split order per step)."""
+    from difpan_tpu.train import TrainConfig, train
+
+    d_train = make_synthetic_pan_h5(n=16, channels=4, size=32,
+                                    division=1023.0, seed=7)
+    d_valid = make_synthetic_pan_h5(n=4, channels=4, size=32,
+                                    division=1023.0, seed=8)
+    out = {}
+    for k in (1, 4):
+        cfg = TrainConfig(
+            dataset_name="qb", image_n_channel=4, pan_channel=1,
+            image_size=32, n_steps=25, batch_size=8, inner_channel=8,
+            channel_mults=(1, 2), attn_res=(16,), res_blocks=1,
+            dropout=0.0, max_iterations=8, valid_every=8, log_every=1,
+            seed=5, device_data=True, device_aug_prob=0.7,
+            steps_per_call=k,
+            ckpt_dir=str(tmp_path / f"w{k}"),
+            run_dir=str(tmp_path / f"r{k}"),
+            samples_dir=str(tmp_path / f"s{k}"))
+
+        captured = []
+
+        class CapLogger(_NullLogger):
+            def log_scalar(self, tag, value, step):
+                if tag == "denoised_loss":
+                    captured.append(float(value))
+
+            def log_image(self, *a, **kw):
+                pass
+
+        train(dict(d_train), dict(d_valid), cfg, logger=CapLogger())
+        out[k] = captured
+    assert len(out[1]) == len(out[4]) == 8
+    np.testing.assert_allclose(out[1], out[4], rtol=1e-6, atol=1e-7)
+
+
+def test_device_aug_requires_device_data():
+    from difpan_tpu.train import TrainConfig, train
+    d = make_synthetic_pan_h5(n=8, channels=4, size=32, division=1023.0)
+    cfg = TrainConfig(dataset_name="qb", image_n_channel=4, pan_channel=1,
+                      image_size=32, batch_size=4, device_data=False,
+                      device_aug_prob=0.5, max_iterations=2,
+                      inner_channel=8, channel_mults=(1, 2), res_blocks=1)
+    with pytest.raises(ValueError, match="device_aug_prob"):
+        train(dict(d), dict(d), cfg)

@@ -7,12 +7,20 @@
 # checkpoint was lost to the 08-18 VM reset, so this trains from scratch
 # on the round-4 structured Wald HISR data (the discriminative set).
 # Borrows the chip from the 400k run via its cooperative PAUSE file and
-# returns it afterwards.
+# returns it afterwards. This runner honors the same protocol itself:
+# it writes runs/real_train_cave/train.pid and stops its trainer when a
+# PAUSE file appears there (bench.py's pause_local_training relies on
+# both), resuming from the orbax checkpoint once PAUSE is removed.
+# Pre-generate the data cache with scripts/pregen_cave_data.py so the
+# borrowed-chip window is training only.
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site
 WALD=runs/real_train_wald
+OUT=runs/real_train_cave
 ITERS=${ITERS:-16000}
+MAX_ATTEMPTS=${MAX_ATTEMPTS:-40}
+mkdir -p "$OUT"
 
 echo "[cave_ext] pausing the 400k run"
 touch "$WALD/PAUSE"
@@ -24,20 +32,39 @@ for i in $(seq 1 30); do
 done
 
 echo "[cave_ext] training cave to $ITERS"
-python scripts/train_real.py \
-    --family cave --data wald --iters "$ITERS" --batch-size 32 \
-    --n-train 2048 --n-valid 32 --valid-every 1000 --ema-start 4000 \
-    --steps-per-call 25 --out runs/real_train_cave
-rc=$?
-echo "[cave_ext] train rc=$rc"
+for i in $(seq 1 "$MAX_ATTEMPTS"); do
+  [ -f "$OUT/DONE.json" ] && break
+  while [ -f "$OUT/PAUSE" ]; do sleep 15; done
+  python scripts/train_real.py \
+      --family cave --data wald --iters "$ITERS" --batch-size 32 \
+      --n-train 2048 --n-valid 32 --valid-every 1000 --ema-start 4000 \
+      --steps-per-call 25 --out "$OUT" >> "$OUT/driver.log" 2>&1 &
+  pid=$!
+  echo "$pid" > "$OUT/train.pid"
+  while kill -0 "$pid" 2>/dev/null; do
+    sleep 20
+    if [ -f "$OUT/PAUSE" ]; then
+      echo "[cave_ext] PAUSE requested — stopping $pid"
+      kill "$pid" 2>/dev/null; sleep 10; kill -9 "$pid" 2>/dev/null
+      break
+    fi
+  done
+  wait "$pid" 2>/dev/null
+  echo "[cave_ext] attempt $i exited rc=$?"
+  [ -f "$OUT/DONE.json" ] && break
+  sleep 30
+done
 
-if [ "$rc" -eq 0 ]; then
+if [ -f "$OUT/DONE.json" ]; then
   echo "[cave_ext] durable snapshot"
-  bash scripts/snapshot_ckpt.sh runs/real_train_cave cave
+  bash scripts/snapshot_ckpt.sh "$OUT" cave
   echo "[cave_ext] regenerating the whole-image full-res demo"
   timeout 3600 python scripts/fullres_demo.py --whole-image \
-      --weights runs/real_train_cave/weights --out runs/fullres_whole.json
+      --weights "$OUT/weights" --out runs/fullres_whole.json
   echo "[cave_ext] demo rc=$?"
+else
+  echo "[cave_ext] not finished after $MAX_ATTEMPTS attempts — snapshotting progress"
+  bash scripts/snapshot_ckpt.sh "$OUT" cave || true
 fi
 
 echo "[cave_ext] resuming the 400k run"

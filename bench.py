@@ -21,6 +21,14 @@ import time
 REFERENCE_CPU_MPS = 9.31e-4   # measured: see module docstring
 TARGET_MULTIPLier = 10.0
 
+# Measured practical compute roof of THIS environment's tunnel chip: a
+# scan-chained 4096^3 bf16 matmul sustains 12.8 TFLOP/s (PERF.md round-1
+# ceiling table; a real v5e peaks at 197 TFLOP/s bf16 — the tunnel adds
+# per-dispatch and virtualization overheads that cap the achievable rate).
+# Emitted alongside the MP/s headline so a flat MP/s trend is legible as
+# ceiling saturation rather than stagnation (VERDICT r4 item 7).
+TUNNEL_CEILING_TFLOPS = 12.8
+
 
 def _stage(msg):
     """Progress lines go to stderr — stdout stays the ONE JSON line."""
@@ -80,28 +88,33 @@ def pause_local_training(wait_s: float = 420.0) -> list:
     paths created (caller removes them in a finally to resume)."""
     import glob
     import os
-    paused = []
+    paused, live = [], []
     for pidfile in glob.glob("runs/*/train.pid"):
+        # drop PAUSE regardless of pid liveness: the pidfile goes stale
+        # between restart attempts / while paused, and a driver about to
+        # relaunch spins on PAUSE before launching — skipping dead pids
+        # leaves that window unprotected (ADVICE r4)
+        pause = os.path.join(os.path.dirname(pidfile), "PAUSE")
+        open(pause, "w").close()
+        paused.append(pause)
         try:
             pid = int(open(pidfile).read().strip())
             os.kill(pid, 0)
+            live.append(pid)
+            _stage(f"pausing live training (pid {pid}) via {pause}")
         except (ValueError, OSError):
-            continue
-        pause = os.path.join(os.path.dirname(pidfile), "PAUSE")
-        open(pause, "w").close()
-        paused.append((pause, pid))
-        _stage(f"pausing live training (pid {pid}) via {pause}")
+            _stage(f"dropped {pause} (pid dead — guards a relaunch window)")
     deadline = time.time() + wait_s
-    for _, pid in paused:
+    for pid in live:
         while time.time() < deadline:
             try:
                 os.kill(pid, 0)
             except OSError:
                 break
             time.sleep(5)
-    if paused:
+    if live:
         _stage("training paused; chip free")
-    return [p for p, _ in paused]
+    return paused
 
 
 def resume_local_training(pause_files: list) -> None:
@@ -314,6 +327,21 @@ def _run(args, metric):
         "vs_baseline": round(mps / (TARGET_MULTIPLier * REFERENCE_CPU_MPS),
                              4),
     }
+    # honest MFU context: analytic matmul+conv FLOPs of the whole sampled
+    # chain (host-side jaxpr walk — no backend dependency) over the best
+    # wall time, against the measured tunnel ceiling
+    try:
+        import os
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from flops_count import count_flops
+        acc = count_flops(jax.make_jaxpr(run)(jax.random.PRNGKey(2)).jaxpr)
+        tfe = (acc["dot"] + acc["conv"]) / dt / 1e12
+        result["tflops_effective"] = round(tfe, 3)
+        result["tflops_ceiling"] = TUNNEL_CEILING_TFLOPS
+        result["frac_of_ceiling"] = round(tfe / TUNNEL_CEILING_TFLOPS, 3)
+    except Exception as e:  # noqa: BLE001 — context fields are best-effort
+        _stage(f"flop count skipped: {e!r}")
     print(json.dumps(result))
     return result
 

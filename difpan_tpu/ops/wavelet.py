@@ -74,6 +74,41 @@ def haar_dwt2_nhwc(x: jnp.ndarray):
     return ll, (hl, lh, hh)
 
 
+def wavelet_flip_signs(image_n_channel: int, pan_channel: int,
+                       order: str = "pan") -> Tuple[np.ndarray, np.ndarray]:
+    """Per-channel sign corrections for spatially flipping a packed
+    `wavelet_cond_pack` tensor.
+
+    Flipping an image along W negates its cV ('ad') and cD ('dd') Haar
+    coefficients (the W-axis difference changes sign; for even W the
+    Haar pairs map onto each other reversed, see `haar_dwt2`); flipping
+    along H negates cH ('da') and cD. The reference's flip augmentation
+    (`/root/reference/dataset/pan_dataset.py:191-203`) flips every tensor
+    as stored WITHOUT these sign fixes — i.e. its augmented wavelet cond
+    is not the DWT of the augmented image. These vectors make the flip
+    exact: multiply the flipped packed tensor by `sign_h` for W-flips and
+    `sign_v` for H-flips (channel-last).
+
+    Returns (sign_h, sign_v), each shape (C + 3*P,) float32.
+    """
+    c, p = image_n_channel, pan_channel
+    ll = np.ones(c)
+    if order == "pan":        # [lms_LL, pan_H, pan_D, pan_V]
+        h_sign_w, d_sign_w, v_sign_w = 1.0, -1.0, -1.0
+        sign_h = np.concatenate([ll, np.full(p, h_sign_w),
+                                 np.full(p, d_sign_w), np.full(p, v_sign_w)])
+        sign_v = np.concatenate([ll, np.full(p, -1.0),
+                                 np.full(p, -1.0), np.full(p, 1.0)])
+    elif order == "hisr":     # [hsi_LL, rgb_H, rgb_V, rgb_D]
+        sign_h = np.concatenate([ll, np.full(p, 1.0),
+                                 np.full(p, -1.0), np.full(p, -1.0)])
+        sign_v = np.concatenate([ll, np.full(p, -1.0),
+                                 np.full(p, 1.0), np.full(p, -1.0)])
+    else:
+        raise ValueError(order)
+    return sign_h.astype(np.float32), sign_v.astype(np.float32)
+
+
 def wavelet_cond_pack(lms_ll: np.ndarray, pan_coeffs, order: str = "pan"
                       ) -> np.ndarray:
     """Stack wavelet features on the channel axis in the reference's order.

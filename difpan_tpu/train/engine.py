@@ -114,6 +114,14 @@ class TrainConfig:
                                      # `diffusion_engine.py:151`) — counters
                                      # memorization of finite synthetic
                                      # pools (RUN.md round-4 note)
+    device_aug_wavelet_signs: bool = False
+                                     # sign-correct the wavelet cond under
+                                     # device flips (ops.wavelet.
+                                     # wavelet_flip_signs) so the augmented
+                                     # cond is the exact DWT of the flipped
+                                     # image. Off by default = reference
+                                     # parity (the reference flips wavelet
+                                     # planes as stored, sign-inconsistent)
     ckpt_dir: str = "./weights"
     run_dir: str = "./runs"
     samples_dir: str = "./samples"
@@ -155,7 +163,7 @@ def _dtype_casts(cfg: TrainConfig):
     return (lambda t: t), (lambda a: a)
 
 
-def device_augment(batch, key, prob):
+def device_augment(batch, key, prob, wavelet_signs=None):
     """Per-sample random H/V flips applied on device inside the jitted
     gather (TrainConfig.device_aug_prob). Semantics match
     PanDataset.batch's host flips (`pan_dataset.py:191-203` parity
@@ -163,19 +171,45 @@ def device_augment(batch, key, prob):
     tensor of the batch tuple, flips_h reverses W (axis 2), flips_v
     reverses H (axis 1); wavelet planes flip as stored, exactly as the
     host path does. Elementwise selects — fuses into the gather, ~free
-    on TPU."""
+    on TPU.
+
+    `wavelet_signs=(sign_h, sign_v)` (see `ops.wavelet.wavelet_flip_signs`)
+    additionally negates the detail planes of the LAST batch tensor (the
+    packed wavelet cond) so the augmented cond IS the DWT of the augmented
+    image — the reference's own flips skip this and feed a sign-
+    inconsistent cond; opt in via TrainConfig.device_aug_wavelet_signs."""
     kh, kv = jax.random.split(key)
     b = batch[0].shape[0]
     fh = jax.random.uniform(kh, (b,)) < prob
     fv = jax.random.uniform(kv, (b,)) < prob
 
-    def flip(a):
+    def flip(a, sign_h=None, sign_v=None):
         mh = fh.reshape((b,) + (1,) * (a.ndim - 1))
         mv = fv.reshape((b,) + (1,) * (a.ndim - 1))
-        a = jnp.where(mh, jnp.flip(a, axis=2), a)
-        return jnp.where(mv, jnp.flip(a, axis=1), a)
+        ah = jnp.flip(a, axis=2)
+        if sign_h is not None:
+            ah = ah * sign_h
+        a = jnp.where(mh, ah, a)
+        av = jnp.flip(a, axis=1)
+        if sign_v is not None:
+            av = av * sign_v
+        return jnp.where(mv, av, a)
 
-    return tuple(flip(a) for a in batch)
+    if wavelet_signs is None:
+        return tuple(flip(a) for a in batch)
+    sh, sv = (jnp.asarray(s, batch[-1].dtype) for s in wavelet_signs)
+    return tuple(flip(a) for a in batch[:-1]) + (flip(batch[-1], sh, sv),)
+
+
+def rotate_pool(data, chunk, start):
+    """Overwrite `chunk` (tuple of (m, ...) arrays) into the device-resident
+    pool `data` (tuple of (n, ...) arrays, m <= n) at sample offset `start`
+    along axis 0 — the in-place refresh step of the epochless data stream
+    (see train()'s refresh_fn). Jitted with the pool donated, so the update
+    reuses the pool's HBM buffers."""
+    return tuple(jax.lax.dynamic_update_slice(
+        d, c, (start,) + (0,) * (d.ndim - 1))
+        for d, c in zip(data, chunk))
 
 
 def make_train_step(cfg: TrainConfig, model, dcfg, sched, tx,
@@ -268,9 +302,25 @@ def train(
     restore_state: Optional[TrainState] = None,
     max_iterations: Optional[int] = None,
     on_valid: Optional[Callable] = None,
+    refresh_fn: Optional[Callable] = None,
+    should_stop: Optional[Callable] = None,
 ):
     """Run the training loop. `train_data`/`valid_data` are dataset objects
     (PanDataset / HISRDataSets) or dict-like h5 contents.
+
+    `refresh_fn` (device_data only) makes the stream epochless: a
+    non-blocking poll returning either None or a fresh chunk — a tuple of
+    host arrays shaped like `train_data.batch(...)` with m samples,
+    m <= n_train. Polled once per dispatch; each fresh chunk overwrites m
+    samples of the device-resident buffer in place (donated
+    dynamic_update_slice at a rotating offset), so a background generator
+    continuously replaces the pool and no scene is revisited thousands of
+    times (the failure mode of training the reference's 400k schedule on
+    a fixed synthetic set).
+
+    `should_stop(step)` is checked after each validation+checkpoint; return
+    True to end the run cleanly (used for proactive self-restart when the
+    tunnel client's pinned-host-memory leak approaches the host RAM limit).
 
     Returns the final TrainState.
     """
@@ -322,8 +372,16 @@ def train(
         raise ValueError("device_aug_prob needs device_data=True (host "
                          "batches augment via PanDataset aug_prob instead)")
 
+    wavelet_signs = None
+    if cfg.device_aug_wavelet_signs:
+        from ..ops.wavelet import wavelet_flip_signs
+        order = "pan" if spec.family == "pan" else "hisr"
+        wavelet_signs = wavelet_flip_signs(cfg.image_n_channel,
+                                           cfg.pan_channel, order=order)
+
     def _device_augment(batch, key):
-        return device_augment(batch, key, cfg.device_aug_prob)
+        return device_augment(batch, key, cfg.device_aug_prob,
+                              wavelet_signs=wavelet_signs)
 
     if cfg.device_data:
         # device-resident data: jit takes (state, full_dataset, idx, key)
@@ -401,6 +459,32 @@ def train(
                          for a in full)
         del full
 
+        rotate = None
+        if refresh_fn is not None:
+            n_arrays = len(data_all)
+            # donate the buffer: the fresh chunk lands in place, no second
+            # full-set copy lives in HBM
+            rotate = jax.jit(
+                rotate_pool, donate_argnums=(0,),
+                in_shardings=((repl_sh,) * n_arrays, (repl_sh,) * n_arrays,
+                              repl_sh),
+                out_shardings=(repl_sh,) * n_arrays)
+            rotate_off = 0
+            n_pool = int(data_all[0].shape[0])
+
+        def poll_refresh(data_all):
+            nonlocal rotate_off
+            chunk = refresh_fn()
+            if chunk is None:
+                return data_all, False
+            m = int(chunk[0].shape[0])
+            start = rotate_off if rotate_off + m <= n_pool else 0
+            rotate_off = (start + m) % n_pool
+            chunk_dev = tuple(jnp.asarray(np.asarray(c), d.dtype)
+                              for c, d in zip(chunk, data_all))
+            return rotate(data_all, chunk_dev,
+                          jnp.asarray(start, jnp.int32)), True
+
         def _index_iter():
             # same permutation stream as batch_iterator(shuffle=True,
             # drop_remainder=True)
@@ -432,7 +516,17 @@ def train(
                      f"({rate:.2f} it/s)")
         logger.log_scalar("denoised_loss", loss_val, i)
 
+    streamed = 0
     while step < max_iters:
+        if cfg.device_data and refresh_fn is not None:
+            # non-blocking: rotates a fresh generator chunk into the
+            # device buffer when one is ready (epochless stream)
+            data_all, fresh = poll_refresh(data_all)
+            if fresh:
+                streamed += 1
+                if streamed % 10 == 1:
+                    logger.print(f"[stream] chunk {streamed} rotated in "
+                                 f"at iter {step}")
         # K-step chunks when aligned and a full chunk fits; otherwise
         # (show_recon, chunk tail, unaligned resume step) one step at a time
         if use_scan and step % K == 0 and step + K <= max_iters:
@@ -511,9 +605,17 @@ def train(
             logger.print("---diffusion result---")
             logger.print(analysis.print_str())
             logger.log_scalars("diffusion_perf", analysis.acc_ave, step)
-            save_checkpoint(cfg.ckpt_dir, state)
-            logger.print("save model")
+            # metrics record BEFORE the checkpoint save: a kill between the
+            # two can strand a checkpoint without its valid.jsonl line but
+            # never the reverse (ADVICE r4: ckpt 9000 existed while
+            # valid.jsonl jumped 8000->10000)
             if on_valid is not None:
                 on_valid(step, state, analysis.acc_ave)
+            save_checkpoint(cfg.ckpt_dir, state)
+            logger.print("save model")
+            if should_stop is not None and should_stop(step):
+                logger.print(f"[train] should_stop at iter {step} — "
+                             "ending run cleanly (checkpoint saved)")
+                break
 
     return state

@@ -84,7 +84,7 @@ def count_flops(jaxpr, mult=1, acc=None, depth=0):
             # the caller reports the expectation correction
             mx = int(np.argmax(totals))
             count_flops(branches[mx].jaxpr, mult, acc, depth + 1)
-        elif prim in ("pjit", "closed_call", "custom_jvp_call",
+        elif prim in ("jit", "pjit", "closed_call", "custom_jvp_call",
                       "custom_vjp_call", "custom_vjp_call_jaxpr",
                       "remat", "checkpoint", "custom_jvp_call_jaxpr"):
             inner = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")

@@ -29,9 +29,14 @@ for i in $(seq 1 "$MAX_RESTARTS"); do
   while [ -f "$OUT/PAUSE" ]; do sleep 20; done
   echo "[run_400k] launch attempt $i/$MAX_RESTARTS $(date -u +%FT%TZ)" \
       | tee -a "$OUT/restarts.log"
+  # round 5: epochless stream (fresh Wald scenes rotate into the device
+  # pool continuously — the fixed 8192-pool regime overfit: valid SAM
+  # degraded monotonically 11.9@5k -> 13.6@40k while train loss fell) +
+  # sign-exact on-device flip augmentation + RSS-bounded self-restart
   python scripts/train_real.py \
       --iters "$ITERS" --data wald --n-train 8192 --n-valid 64 \
       --steps-per-call 50 --valid-every 5000 \
+      --stream-chunk 256 --device-aug 0.5 --aug-sign-fix \
       --out "$OUT" >> "$OUT/driver.log" 2>&1 &
   pid=$!
   echo "$pid" > "$OUT/train.pid"
@@ -42,7 +47,7 @@ for i in $(seq 1 "$MAX_RESTARTS"); do
       echo "[run_400k] PAUSE requested — stopping $pid" \
           | tee -a "$OUT/restarts.log"
       kill "$pid" 2>/dev/null
-      sleep 10
+      sleep 60
       kill -9 "$pid" 2>/dev/null
       break
     fi
@@ -52,7 +57,7 @@ for i in $(seq 1 "$MAX_RESTARTS"); do
       echo "[run_400k] attempt $i stale >${STALE_S}s — killing $pid" \
           | tee -a "$OUT/restarts.log"
       kill "$pid" 2>/dev/null
-      sleep 10
+      sleep 60
       kill -9 "$pid" 2>/dev/null
       break
     fi

@@ -31,8 +31,22 @@ for i in $(seq 1 30); do
   sleep 10
 done
 
+# a DONE.json from an earlier, SHORTER completed run must not
+# short-circuit an extension to a larger ITERS (ADVICE r4 medium: the
+# loop no-oped and re-snapshotted the old checkpoint). train_real.py now
+# only writes DONE.json on true completion, but old files may linger.
+if [ -f "$OUT/DONE.json" ]; then
+  prev=$(python -c "import json;print(json.load(open('$OUT/DONE.json'))\
+.get('final_step',0))" 2>/dev/null || echo 0)
+  if [ "$prev" -lt "$ITERS" ]; then
+    echo "[cave_ext] stale DONE.json (final_step=$prev < $ITERS) — removing"
+    rm -f "$OUT/DONE.json"
+  fi
+fi
+
 echo "[cave_ext] training cave to $ITERS"
-for i in $(seq 1 "$MAX_ATTEMPTS"); do
+i=0
+while [ "$i" -lt "$MAX_ATTEMPTS" ]; do
   [ -f "$OUT/DONE.json" ] && break
   while [ -f "$OUT/PAUSE" ]; do sleep 15; done
   python scripts/train_real.py \
@@ -41,16 +55,26 @@ for i in $(seq 1 "$MAX_ATTEMPTS"); do
       --steps-per-call 25 --out "$OUT" >> "$OUT/driver.log" 2>&1 &
   pid=$!
   echo "$pid" > "$OUT/train.pid"
+  paused=0
   while kill -0 "$pid" 2>/dev/null; do
     sleep 20
     if [ -f "$OUT/PAUSE" ]; then
       echo "[cave_ext] PAUSE requested — stopping $pid"
-      kill "$pid" 2>/dev/null; sleep 10; kill -9 "$pid" 2>/dev/null
+      paused=1
+      # long grace: SIGKILL mid-validation can strand a checkpoint
+      # without its valid.jsonl row (ADVICE r4; the engine also now
+      # writes the metrics row before the save)
+      kill "$pid" 2>/dev/null; sleep 60
+      kill -9 "$pid" 2>/dev/null
       break
     fi
   done
   wait "$pid" 2>/dev/null
-  echo "[cave_ext] attempt $i exited rc=$?"
+  rc=$?
+  # PAUSE-initiated exits don't consume the attempt budget: repeated
+  # bench borrows must not abandon a healthy run (ADVICE r4)
+  if [ "$paused" -eq 0 ]; then i=$((i + 1)); fi
+  echo "[cave_ext] attempt $i (paused=$paused) exited rc=$rc"
   [ -f "$OUT/DONE.json" ] && break
   sleep 30
 done

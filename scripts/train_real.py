@@ -51,6 +51,24 @@ def main():
                          "memorization of a finite synthetic pool; the "
                          "reference itself trains aug-free "
                          "(diffusion_engine.py:151)")
+    ap.add_argument("--stream-chunk", type=int, default=0,
+                    help="epochless data stream: a background thread "
+                         "generates fresh scenes in chunks of this many "
+                         "samples and rotates them into the device-resident "
+                         "pool (engine refresh_fn). 0 = fixed pool (the "
+                         "round-4 regime that overfit: valid SAM degraded "
+                         "monotonically while train loss fell). Must divide "
+                         "n-train.")
+    ap.add_argument("--aug-sign-fix", action="store_true",
+                    help="sign-correct the wavelet cond under device flips "
+                         "(TrainConfig.device_aug_wavelet_signs)")
+    ap.add_argument("--rss-restart-gb", type=float, default=80.0,
+                    help="end the run cleanly (rc=0, no DONE.json) right "
+                         "after a validation+checkpoint once process RSS "
+                         "exceeds this — the axon tunnel client pins every "
+                         "host->device transfer in host RAM, so a streaming "
+                         "run leaks ~4 MB/s and must self-restart before "
+                         "the 125 GB host OOM-kills it mid-step")
     ap.add_argument("--data", default="smooth", choices=["smooth", "wald"],
                     help="wald = round-4 structured Wald-protocol scenes "
                          "(edges/textures/materials + MTF degradation) — "
@@ -104,39 +122,40 @@ def main():
     # relaunches must not pay generation again
     cache = os.path.join(args.out, f"data_{args.data}_{args.family}"
                                    f"_{args.n_train}_{args.n_valid}.npz")
+    if args.family == "cave":
+        if args.data == "wald":
+            from difpan_tpu.data.synthetic import make_wald_hisr_h5
+            gen = lambda n, seed: make_wald_hisr_h5(n=n, bands=31,
+                                                    size=64, seed=seed)
+        else:
+            from difpan_tpu.data.synthetic import make_synthetic_hisr_h5
+            gen = lambda n, seed: make_synthetic_hisr_h5(
+                n=n, bands=31, size=64, seed=seed)
+        n_ch, pan_ch = 31, 3
+    else:
+        if args.data == "wald":
+            from difpan_tpu.data.synthetic import make_wald_pan_h5_chunked
+            gen = lambda n, seed: make_wald_pan_h5_chunked(
+                n=n, channels=8, size=64, division=2047.0, seed=seed)
+        else:
+            gen = lambda n, seed: make_synthetic_pan_h5(
+                n=n, channels=8, size=64, division=2047.0, seed=seed)
+        n_ch, pan_ch = 8, 1
     if os.path.exists(cache):
         print(f"[train_real] loading cached data {cache}", flush=True)
         z = np.load(cache)
         d_train = {k[6:]: z[k] for k in z.files if k.startswith("train_")}
         d_valid = {k[6:]: z[k] for k in z.files if k.startswith("valid_")}
-        n_ch, pan_ch = (31, 3) if args.family == "cave" else (8, 1)
     else:
         print(f"[train_real] generating {args.data} {args.family} data "
               f"(train n={args.n_train}, valid n={args.n_valid})", flush=True)
-        if args.family == "cave":
-            if args.data == "wald":
-                from difpan_tpu.data.synthetic import make_wald_hisr_h5
-                gen = lambda n, seed: make_wald_hisr_h5(n=n, bands=31,
-                                                        size=64, seed=seed)
-            else:
-                from difpan_tpu.data.synthetic import make_synthetic_hisr_h5
-                gen = lambda n, seed: make_synthetic_hisr_h5(
-                    n=n, bands=31, size=64, seed=seed)
-            n_ch, pan_ch = 31, 3
-        else:
-            if args.data == "wald":
-                from difpan_tpu.data.synthetic import make_wald_pan_h5_chunked
-                gen = lambda n, seed: make_wald_pan_h5_chunked(
-                    n=n, channels=8, size=64, division=2047.0, seed=seed,
-                    verbose=True)
-            else:
-                gen = lambda n, seed: make_synthetic_pan_h5(
-                    n=n, channels=8, size=64, division=2047.0, seed=seed)
-            n_ch, pan_ch = 8, 1
         d_train, d_valid = gen(args.n_train, 42), gen(args.n_valid, 43)
         np.savez(cache, **{f"train_{k}": v for k, v in d_train.items()},
                  **{f"valid_{k}": v for k, v in d_valid.items()})
         print(f"[train_real] cached data -> {cache}", flush=True)
+
+    if args.stream_chunk and args.n_train % args.stream_chunk:
+        raise SystemExit("--stream-chunk must divide --n-train")
 
     cfg = TrainConfig(
         dataset_name=args.family, image_n_channel=n_ch, pan_channel=pan_ch,
@@ -151,6 +170,7 @@ def main():
         # step.
         device_data=True,
         device_aug_prob=args.device_aug,
+        device_aug_wavelet_signs=args.aug_sign_fix,
         steps_per_call=args.steps_per_call,
         ckpt_dir=os.path.join(args.out, "weights"),
         run_dir=os.path.join(args.out, "runs"),
@@ -170,6 +190,8 @@ def main():
         "lr_gamma": 0.2, "compute_dtype": cfg.compute_dtype,
         "device_data": cfg.device_data,
         "device_aug_prob": cfg.device_aug_prob,
+        "device_aug_wavelet_signs": cfg.device_aug_wavelet_signs,
+        "stream_chunk": args.stream_chunk,
     }
     with open(os.path.join(args.out, "RUN_CONFIG.json"), "w") as f:
         json.dump(run_config, f, indent=1)
@@ -221,17 +243,84 @@ def main():
         print(f"[train_real] resuming from step "
               f"{int(restore_state.step)}", flush=True)
 
+    refresh_fn = None
+    if args.stream_chunk:
+        import queue
+        import threading
+
+        from difpan_tpu.data import HISRDataSets, PanDataset, get_dataset_spec
+        spec = get_dataset_spec(args.family)
+        start_step = (int(restore_state.step)
+                      if restore_state is not None else 0)
+        # seed space disjoint from the cached pool (42*1000+i) and the
+        # valid set (43); offset by the resume step so relaunched segments
+        # don't replay the chunks the previous segment already streamed
+        seed_base = 10_000_000 + start_step
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def _gen_worker():
+            seq = 0
+            while True:
+                try:
+                    d = gen(args.stream_chunk, seed_base + seq)
+                    if args.family == "cave":
+                        ds = HISRDataSets(d, wavelets=True)
+                    else:
+                        ds = PanDataset(d, norm_range=False,
+                                        division=spec.division,
+                                        wavelets=True)
+                    arrs = tuple(
+                        np.asarray(a, np.float32)
+                        for a in ds.batch(np.arange(args.stream_chunk)))
+                    q.put(arrs)   # blocks at maxsize — bounds host memory
+                except Exception as e:     # keep streaming; a dead worker
+                    print(f"[stream-gen] chunk {seq} failed: {e!r} — "
+                          "continuing", flush=True)
+                    time.sleep(5)
+                seq += 1
+
+        threading.Thread(target=_gen_worker, daemon=True,
+                         name="stream-gen").start()
+
+        def refresh_fn():
+            try:
+                return q.get_nowait()
+            except queue.Empty:
+                return None
+
+    def rss_gb() -> float:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024 / 1024
+        return 0.0
+
+    def should_stop(step) -> bool:
+        r = rss_gb()
+        if r > args.rss_restart_gb:
+            print(f"[train_real] RSS {r:.1f} GB > {args.rss_restart_gb} GB "
+                  f"at iter {step} — clean self-restart (outer loop "
+                  "relaunches; resume loses 0 iters)", flush=True)
+            return True
+        return False
+
     logger = JsonlLogger("real", base_dir=cfg.run_dir)
     t0 = time.time()
     state = train(d_train, d_valid, cfg, logger=logger,
-                  restore_state=restore_state, on_valid=on_valid)
+                  restore_state=restore_state, on_valid=on_valid,
+                  refresh_fn=refresh_fn, should_stop=should_stop)
     wall = time.time() - t0
     final_step = int(jax.device_get(state.step))
     print(f"[train_real] done: step={final_step} wall={wall/3600:.2f}h "
           f"ema_l2={ema_l2(state)}", flush=True)
-    with open(os.path.join(args.out, "DONE.json"), "w") as f:
-        json.dump({"final_step": final_step, "wall_h": round(wall / 3600, 3),
-                   "ema_l2": ema_l2(state), "config": run_config}, f)
+    if final_step >= args.iters:
+        # DONE.json only on true completion: a should_stop self-restart or
+        # a wall-clock kill is NOT done (ADVICE r4: run_cave_ext.sh no-oped
+        # because an old shorter-run DONE.json short-circuited its loop)
+        with open(os.path.join(args.out, "DONE.json"), "w") as f:
+            json.dump({"final_step": final_step,
+                       "wall_h": round(wall / 3600, 3),
+                       "ema_l2": ema_l2(state), "config": run_config}, f)
 
 
 if __name__ == "__main__":

@@ -58,10 +58,11 @@ def test_forced_failure_emits_structured_json(monkeypatch, capsys):
 
 
 def test_pause_local_training_roundtrip(tmp_path, monkeypatch):
-    """The chip is exclusive: bench must drop a PAUSE file next to every
-    LIVE train.pid (the run_400k/run_cave_ext drivers honor it), wait for
-    the pid, and remove the file afterwards. Dead/garbage pids are
-    ignored."""
+    """The chip is exclusive: bench must drop a PAUSE file next to EVERY
+    train.pid — live or dead (the pidfile goes stale between a driver's
+    restart attempts, and the driver spins on PAUSE right before
+    relaunching; skipping dead pids left that window unprotected, ADVICE
+    r4) — wait for the live pids, and remove the files afterwards."""
     import os
     monkeypatch.chdir(tmp_path)
     live = tmp_path / "runs" / "wald"
@@ -72,9 +73,32 @@ def test_pause_local_training_roundtrip(tmp_path, monkeypatch):
     (dead / "train.pid").write_text("999999999")       # not a real pid
 
     paused = bench.pause_local_training(wait_s=0.0)
-    assert [os.path.abspath(p) for p in paused] == [str(live / "PAUSE")]
+    assert sorted(os.path.abspath(p) for p in paused) == sorted(
+        [str(live / "PAUSE"), str(dead / "PAUSE")])
     assert (live / "PAUSE").exists()
-    assert not (dead / "PAUSE").exists()
+    assert (dead / "PAUSE").exists()   # guards the relaunch window
 
     bench.resume_local_training(paused)
     assert not (live / "PAUSE").exists()
+    assert not (dead / "PAUSE").exists()
+
+
+def test_bench_emits_mfu_context_fields(capsys):
+    """The parsed JSON line must carry tflops_effective / tflops_ceiling /
+    frac_of_ceiling (VERDICT r4 item 7: a flat MP/s headline must be
+    legible as ceiling saturation, not stagnation)."""
+    import argparse
+
+    args = argparse.Namespace(
+        batch=1, size=64, steps=2, iters=1, channels=4, dtype="f32",
+        pallas=False, fp8_attn=False, fp8_conv=False, dpm_grid=False,
+        cond_evict_res=None, sampler="dpm", skip_probe=True,
+        probe_attempts=1, probe_base_delay=0.0, probe_timeout=1.0)
+    result = bench._run(args, "test_metric")
+    assert result["value"] > 0
+    assert result["tflops_effective"] > 0
+    assert result["tflops_ceiling"] == bench.TUNNEL_CEILING_TFLOPS
+    assert 0 < result["frac_of_ceiling"] < 1.5
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    parsed = json.loads(line)
+    assert parsed["tflops_effective"] == result["tflops_effective"]

@@ -489,3 +489,119 @@ def test_device_aug_requires_device_data():
                       inner_channel=8, channel_mults=(1, 2), res_blocks=1)
     with pytest.raises(ValueError, match="device_aug_prob"):
         train(dict(d), dict(d), cfg)
+
+
+def test_device_augment_wavelet_sign_fix():
+    """With wavelet_signs, the augmented wavelet cond must be EXACTLY the
+    packed DWT of the flipped image — i.e. device_augment(batch) equals
+    PanDataset.batch of a dataset built from spatially flipped raw inputs.
+    (Without signs — reference parity — the detail planes come out with
+    the wrong sign: the reference flips every tensor as stored,
+    `/root/reference/dataset/pan_dataset.py:191-203`.)"""
+    from difpan_tpu.ops.wavelet import wavelet_flip_signs
+    from difpan_tpu.train.engine import device_augment
+
+    d = make_synthetic_pan_h5(n=4, channels=4, size=16, division=1023.0,
+                              seed=11)
+    ds = PanDataset(d, norm_range=False, division=1023.0, wavelets=True)
+    batch = tuple(jnp.asarray(a) for a in ds.batch(np.arange(4)))
+
+    signs = wavelet_flip_signs(4, 1, order="pan")
+    out = device_augment(batch, jax.random.PRNGKey(0), 1.0,
+                         wavelet_signs=signs)   # flips H AND V everywhere
+
+    d_flip = {k: np.ascontiguousarray(v[:, :, ::-1, ::-1])
+              for k, v in d.items()}
+    ds_flip = PanDataset(d_flip, norm_range=False, division=1023.0,
+                         wavelets=True)
+    want = ds_flip.batch(np.arange(4))
+    for o, w in zip(out, want):
+        np.testing.assert_allclose(np.asarray(o), w, rtol=0, atol=2e-6)
+
+    # and the unsigned (reference-parity) flip differs on detail planes
+    out_ref = device_augment(batch, jax.random.PRNGKey(0), 1.0)
+    wav_ref, wav_want = np.asarray(out_ref[3]), want[3]
+    assert not np.allclose(wav_ref, wav_want, atol=1e-4)
+
+
+def test_device_augment_wavelet_sign_fix_hisr():
+    """Same exactness property for the HISR pack order [LL, H, V, D]."""
+    from difpan_tpu.data import HISRDataSets
+    from difpan_tpu.data.synthetic import make_synthetic_hisr_h5
+    from difpan_tpu.ops.wavelet import wavelet_flip_signs
+    from difpan_tpu.train.engine import device_augment
+
+    d = make_synthetic_hisr_h5(n=4, bands=7, size=16, seed=5)
+    ds = HISRDataSets(d, wavelets=True)
+    batch = tuple(jnp.asarray(a) for a in ds.batch(np.arange(4)))
+    signs = wavelet_flip_signs(7, 3, order="hisr")
+    out = device_augment(batch, jax.random.PRNGKey(2), 1.0,
+                         wavelet_signs=signs)
+    d_flip = {k: np.ascontiguousarray(v[:, :, ::-1, ::-1])
+              for k, v in d.items()}
+    want = HISRDataSets(d_flip, wavelets=True).batch(np.arange(4))
+    for o, w in zip(out, want):
+        np.testing.assert_allclose(np.asarray(o), w, rtol=0, atol=2e-6)
+
+
+def test_rotate_pool():
+    """rotate_pool overwrites exactly [start, start+m) of every pool array
+    and leaves the rest untouched."""
+    from difpan_tpu.train.engine import rotate_pool
+
+    rng = np.random.default_rng(0)
+    pool = tuple(jnp.asarray(rng.normal(size=(16, 4, 4, c)), jnp.float32)
+                 for c in (1, 3))
+    chunk = tuple(jnp.asarray(rng.normal(size=(4, 4, 4, c)), jnp.float32)
+                  for c in (1, 3))
+    out = jax.jit(rotate_pool)(pool, chunk, jnp.asarray(6, jnp.int32))
+    for p, c, o in zip(pool, chunk, out):
+        p, c, o = map(np.asarray, (p, c, o))
+        np.testing.assert_array_equal(o[6:10], c)
+        np.testing.assert_array_equal(o[:6], p[:6])
+        np.testing.assert_array_equal(o[10:], p[10:])
+
+
+def test_train_refresh_fn_streams_chunks(tmp_path):
+    """The epochless stream: train() polls refresh_fn once per dispatch and
+    rotates returned chunks into the device pool; the run completes and the
+    poll count matches the dispatch count."""
+    d_train = make_synthetic_pan_h5(n=16, channels=4, size=32,
+                                    division=1023.0, seed=7)
+    d_valid = make_synthetic_pan_h5(n=8, channels=4, size=32,
+                                    division=1023.0, seed=8)
+    ds_chunk = PanDataset(
+        make_synthetic_pan_h5(n=4, channels=4, size=32, division=1023.0,
+                              seed=9),
+        norm_range=False, division=1023.0, wavelets=True)
+    chunk = ds_chunk.batch(np.arange(4))
+
+    polls = [0]
+
+    def refresh_fn():
+        polls[0] += 1
+        return chunk if polls[0] % 2 == 0 else None   # every other poll
+
+    cfg = _tiny_cfg(device_data=True, max_iterations=8, valid_every=8,
+                    valid_batch_size=8,
+                    ckpt_dir=str(tmp_path / "w"), run_dir=str(tmp_path / "r"),
+                    samples_dir=str(tmp_path / "s"))
+    state = train(dict(d_train), dict(d_valid), cfg, logger=_NullLogger(),
+                  refresh_fn=refresh_fn)
+    assert int(jax.device_get(state.step)) == 8
+    assert polls[0] == 8   # one poll per dispatch (steps_per_call=1)
+
+
+def test_train_should_stop_ends_after_validation(tmp_path):
+    """should_stop(step) is consulted after each validation+checkpoint and
+    ends the run cleanly (the RSS self-restart hook)."""
+    d = make_synthetic_pan_h5(n=16, channels=4, size=32, division=1023.0,
+                              seed=3)
+    cfg = _tiny_cfg(device_data=True, max_iterations=20, valid_every=5,
+                    valid_batch_size=8,
+                    ckpt_dir=str(tmp_path / "w"), run_dir=str(tmp_path / "r"),
+                    samples_dir=str(tmp_path / "s"))
+    state = train(dict(d), dict(d), cfg, logger=_NullLogger(),
+                  should_stop=lambda step: step >= 10)
+    assert int(jax.device_get(state.step)) == 10
+    assert os.path.isdir(str(tmp_path / "w" / "10"))

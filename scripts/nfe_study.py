@@ -56,7 +56,16 @@ def main():
     ap.add_argument("--data", default="smooth", choices=["smooth", "wald"],
                     help="held-out test generator (match the training data)")
     ap.add_argument("--out", default=None, help="report path override")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (leave the tunnel chip to "
+                         "the live training run; sampling n=8 at 64px is "
+                         "fine on host)")
+    ap.add_argument("--groups", default=None,
+                    help="comma-separated subset of group letters to run "
+                         "(e.g. A,B,G); default all")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from difpan_tpu.data import PanDataset, pack_cond
     from difpan_tpu.diffusion import (DiffusionConfig, ddim_sample_loop,
@@ -114,7 +123,12 @@ def main():
 
     rows = []   # (group, name, nfe, mean-dict, std-dict, wall_first)
 
+    groups_filter = (set(g.strip().upper() for g in args.groups.split(","))
+                     if args.groups else None)
+
     def run_seeds(group, name, nfe, jitted):
+        if groups_filter is not None and group not in groups_filter:
+            return
         t0 = time.time()
         per_seed = []
         for s in XT_SEEDS:

@@ -217,6 +217,15 @@ def main():
                                  jax.tree_util.tree_leaves(state.ema_params)))
         return float(np.sqrt(d2))
 
+    served = [0]   # stream chunks consumed (refresh_fn below increments)
+
+    def rss_gb() -> float:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024 / 1024
+        return 0.0
+
     def on_valid(step, state, acc):
         # host-side mirror of the optax piecewise schedule
         # (state.py make_optimizer: milestones 100k/200k/350k, gamma 0.2)
@@ -224,6 +233,12 @@ def main():
                                    for m in (100_000, 200_000, 350_000))
         rec = {"step": int(step), "ema_l2": ema_l2(state), "lr": lr,
                "ema_phase": "decay" if step > cfg.ema_start_iter else "copy"}
+        if args.stream_chunk:
+            # stream evidence: fresh scenes rotated into the pool since
+            # this segment started, and host RSS (the leak should_stop
+            # watches) — both visible in the durable valid.jsonl
+            rec["stream_chunks"] = served[0]
+            rec["rss_gb"] = round(rss_gb(), 1)
         rec.update({k: float(v) for k, v in acc.items()})
         with open(valid_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
@@ -284,16 +299,11 @@ def main():
 
         def refresh_fn():
             try:
-                return q.get_nowait()
+                chunk = q.get_nowait()
             except queue.Empty:
                 return None
-
-    def rss_gb() -> float:
-        with open("/proc/self/status") as f:
-            for line in f:
-                if line.startswith("VmRSS:"):
-                    return int(line.split()[1]) / 1024 / 1024
-        return 0.0
+            served[0] += 1
+            return chunk
 
     def should_stop(step) -> bool:
         r = rss_gb()

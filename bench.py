@@ -183,7 +183,8 @@ def main():
     if args.steps is None:
         args.steps = 25 if args.sampler == "ddim" else 20
 
-    metric = ("wv3_dpmsolver20_sampling_throughput" if args.sampler == "dpm"
+    metric = (f"wv3_dpmsolver{args.steps}_sampling_throughput"
+              if args.sampler == "dpm"
               else "wv3_ddim_protocol_sampling_throughput")
     paused = [] if args.skip_probe else pause_local_training()
     try:

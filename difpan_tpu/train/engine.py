@@ -304,6 +304,7 @@ def train(
     on_valid: Optional[Callable] = None,
     refresh_fn: Optional[Callable] = None,
     should_stop: Optional[Callable] = None,
+    pause_check: Optional[Callable] = None,
 ):
     """Run the training loop. `train_data`/`valid_data` are dataset objects
     (PanDataset / HISRDataSets) or dict-like h5 contents.
@@ -321,6 +322,13 @@ def train(
     `should_stop(step)` is checked after each validation+checkpoint; return
     True to end the run cleanly (used for proactive self-restart when the
     tunnel client's pinned-host-memory leak approaches the host RAM limit).
+
+    `pause_check()` is polled every dispatch (~each steps_per_call chunk);
+    return True to checkpoint IMMEDIATELY — off the valid_every boundary —
+    and end the run. Wired to SIGTERM by scripts/train_real.py so a
+    cooperative PAUSE (bench.py borrowing the chip) costs ~0 iterations
+    instead of rolling back to the last validation checkpoint (a mid-
+    segment kill previously lost up to valid_every-1 steps).
 
     Returns the final TrainState.
     """
@@ -517,7 +525,14 @@ def train(
         logger.log_scalar("denoised_loss", loss_val, i)
 
     streamed = 0
+    start_step = step
     while step < max_iters:
+        if pause_check is not None and pause_check():
+            if step > start_step:
+                save_checkpoint(cfg.ckpt_dir, state)
+            logger.print(f"[train] pause_check at iter {step} — "
+                         "checkpoint saved, ending run cleanly")
+            break
         if cfg.device_data and refresh_fn is not None:
             # non-blocking: rotates a fresh generator chunk into the
             # device buffer when one is ready (epochless stream)

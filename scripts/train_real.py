@@ -314,11 +314,29 @@ def main():
             return True
         return False
 
+    # graceful pause: SIGTERM (the run_400k/cave_ext drivers' PAUSE kill,
+    # bench.py borrowing the chip) sets a flag the engine polls every
+    # dispatch — it checkpoints at the CURRENT step and exits cleanly, so a
+    # pause costs ~0 iterations instead of rolling back to the last
+    # valid_every checkpoint (a mid-segment kill lost up to 4,999 steps).
+    # The drivers' SIGKILL-after-grace fallback still covers a hung tunnel.
+    import signal
+    import threading as _threading
+    _pause_evt = _threading.Event()
+
+    def _on_sigterm(signum, frame):
+        print("[train_real] SIGTERM — checkpointing at the current step "
+              "and exiting cleanly", flush=True)
+        _pause_evt.set()
+
+    signal.signal(signal.SIGTERM, _on_sigterm)
+
     logger = JsonlLogger("real", base_dir=cfg.run_dir)
     t0 = time.time()
     state = train(d_train, d_valid, cfg, logger=logger,
                   restore_state=restore_state, on_valid=on_valid,
-                  refresh_fn=refresh_fn, should_stop=should_stop)
+                  refresh_fn=refresh_fn, should_stop=should_stop,
+                  pause_check=_pause_evt.is_set)
     wall = time.time() - t0
     final_step = int(jax.device_get(state.step))
     print(f"[train_real] done: step={final_step} wall={wall/3600:.2f}h "

@@ -592,6 +592,42 @@ def test_train_refresh_fn_streams_chunks(tmp_path):
     assert polls[0] == 8   # one poll per dispatch (steps_per_call=1)
 
 
+def test_train_pause_check_checkpoints_off_boundary(tmp_path):
+    """pause_check() is polled every dispatch; when it fires mid-segment the
+    engine checkpoints at the CURRENT step (off the valid_every boundary)
+    and exits — the graceful-SIGTERM path that makes a cooperative PAUSE
+    cost ~0 iterations. Resume continues from that exact step."""
+    d = make_synthetic_pan_h5(n=16, channels=4, size=32, division=1023.0,
+                              seed=3)
+    cfg = _tiny_cfg(device_data=True, max_iterations=20, valid_every=5,
+                    valid_batch_size=8,
+                    ckpt_dir=str(tmp_path / "w"), run_dir=str(tmp_path / "r"),
+                    samples_dir=str(tmp_path / "s"))
+    calls = [0]
+
+    def pause_check():
+        calls[0] += 1
+        return calls[0] > 7    # fire mid-segment (step 7; valid_every=5)
+
+    state = train(dict(d), dict(d), cfg, logger=_NullLogger(),
+                  pause_check=pause_check)
+    stopped = int(jax.device_get(state.step))
+    assert stopped == 7 and stopped % cfg.valid_every != 0
+    assert os.path.isdir(str(tmp_path / "w" / "7"))
+
+    # resume from the off-boundary checkpoint and finish the schedule
+    from difpan_tpu.utils.checkpoints import restore_checkpoint
+    restored = restore_checkpoint(str(tmp_path / "w"), state)
+    state2 = train(dict(d), dict(d), cfg, logger=_NullLogger(),
+                   restore_state=restored)
+    assert int(jax.device_get(state2.step)) == 20
+
+    # a pause before any progress must NOT re-save (orbax dir collision)
+    state3 = train(dict(d), dict(d), cfg, logger=_NullLogger(),
+                   restore_state=restored, pause_check=lambda: True)
+    assert int(jax.device_get(state3.step)) == 7
+
+
 def test_train_should_stop_ends_after_validation(tmp_path):
     """should_stop(step) is consulted after each validation+checkpoint and
     ends the run cleanly (the RSS self-restart hook)."""

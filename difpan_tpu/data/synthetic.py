@@ -166,13 +166,25 @@ def _structured_scenes(rng, n: int, c: int, size: int, n_mat: int = 6
 def make_wald_pan_h5(n: int = 8, channels: int = 8, size: int = 64,
                      ratio: int = 4, division: float = 2047.0,
                      seed: int = 0, full_res: bool = False,
-                     noise_snr_db: float = 42.0) -> Dict[str, np.ndarray]:
+                     noise_snr_db: float = 42.0,
+                     sensor_seed: int | None = None) -> Dict[str, np.ndarray]:
     """Structured Wald-protocol pansharpening fixture: {gt, ms, lms, pan}
-    (full_res drops gt), NCHW, range [0, division]. See module comment."""
+    (full_res drops gt), NCHW, range [0, division]. See module comment.
+
+    `sensor_seed` pins the sensor response (per-band MTF Nyquist gains and
+    the pan spectral weights) independently of the scene content seed.
+    The reference's real datasets come from ONE satellite — every train and
+    test patch shares a single MTF + spectral response
+    (`/root/reference/dataset/pan_dataset.py:30-176` loads one sensor's h5)
+    — so an epochless stream must randomize scenes while holding the
+    sensor fixed. Leaving it None keeps the legacy behavior (sensor drawn
+    from `seed`), which across differently-seeded chunks makes the
+    pan->MS spectral mapping ambiguous and demonstrably degrades SAM."""
     rng = np.random.default_rng(seed)
     gt = _structured_scenes(rng, n, channels, size)
     # WV3-like per-band MTF Nyquist gains (~0.27-0.35), fixed per dataset
-    gnyq_rng = np.random.default_rng(seed + 7919)
+    gnyq_rng = np.random.default_rng(
+        (seed if sensor_seed is None else sensor_seed) + 7919)
     gnyq = gnyq_rng.uniform(0.27, 0.35, channels)
     ms = _mtf_gaussian_blur(gt, ratio, gnyq)[:, :, ::ratio, ::ratio]
     lms = _bicubic_up(ms, ratio)
@@ -195,12 +207,17 @@ def make_wald_pan_h5(n: int = 8, channels: int = 8, size: int = 64,
 
 def make_wald_hisr_h5(n: int = 4, bands: int = 31, size: int = 64,
                       ratio: int = 4, seed: int = 0,
-                      noise_snr_db: float = 42.0) -> Dict[str, np.ndarray]:
+                      noise_snr_db: float = 42.0,
+                      sensor_seed: int | None = None) -> Dict[str, np.ndarray]:
     """Structured Wald-protocol hyperspectral fixture: {GT, LRHSI, RGB,
-    HSI_up} in [0, 1], NCHW (CAVE/Harvard layout)."""
+    HSI_up} in [0, 1], NCHW (CAVE/Harvard layout). `sensor_seed` pins the
+    MTF gains independently of scene content (see make_wald_pan_h5); the
+    RGB camera response is already deterministic."""
     rng = np.random.default_rng(seed)
     gt = _structured_scenes(rng, n, bands, size, n_mat=8)
-    gnyq = np.random.default_rng(seed + 7919).uniform(0.28, 0.34, bands)
+    gnyq = np.random.default_rng(
+        (seed if sensor_seed is None else sensor_seed) + 7919
+    ).uniform(0.28, 0.34, bands)
     lr = _mtf_gaussian_blur(gt, ratio, gnyq)[:, :, ::ratio, ::ratio]
     hsi_up = _bicubic_up(lr, ratio)
     # RGB camera response: three Gaussian bumps over the band axis
@@ -222,11 +239,15 @@ def make_wald_hisr_h5(n: int = 4, bands: int = 31, size: int = 64,
 def make_wald_pan_h5_chunked(n: int, channels: int = 8, size: int = 64,
                              ratio: int = 4, division: float = 2047.0,
                              seed: int = 0, chunk: int = 1024,
-                             verbose: bool = False) -> Dict[str, np.ndarray]:
+                             verbose: bool = False,
+                             sensor_seed: int | None = None
+                             ) -> Dict[str, np.ndarray]:
     """Chunked `make_wald_pan_h5` for big n on small hosts: generates in
     `chunk`-sample pieces (seed*1000+i each — deterministic for a given
     (n, chunk, seed)) and concatenates. Bounds peak memory to O(chunk)
-    f64 intermediates instead of O(n) (~10 GB at n=8192 single-shot)."""
+    f64 intermediates instead of O(n) (~10 GB at n=8192 single-shot).
+    `sensor_seed` holds ONE sensor response across every chunk (without it
+    each 1024-piece draws its own — a different satellite per chunk)."""
     parts = []
     done = 0
     i = 0
@@ -234,7 +255,8 @@ def make_wald_pan_h5_chunked(n: int, channels: int = 8, size: int = 64,
         m = min(chunk, n - done)
         parts.append(make_wald_pan_h5(n=m, channels=channels, size=size,
                                       ratio=ratio, division=division,
-                                      seed=seed * 1000 + i))
+                                      seed=seed * 1000 + i,
+                                      sensor_seed=sensor_seed))
         done += m
         i += 1
         if verbose:

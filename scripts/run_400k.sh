@@ -32,11 +32,17 @@ for i in $(seq 1 "$MAX_RESTARTS"); do
   # round 5: epochless stream (fresh Wald scenes rotate into the device
   # pool continuously — the fixed 8192-pool regime overfit: valid SAM
   # degraded monotonically 11.9@5k -> 13.6@40k while train loss fell) +
-  # sign-exact on-device flip augmentation + RSS-bounded self-restart
+  # sign-exact on-device flip augmentation + RSS-bounded self-restart.
+  # --sensor-seed 43 pins ONE sensor response (MTF gains + pan spectral
+  # weights) across the pool, every stream chunk, AND the valid set — the
+  # reference's one-satellite regime. Without it each chunk drew its own
+  # sensor and the pan->MS mapping was ambiguous: valid SAM exploded
+  # 13.9@50k -> 18.3@65k after the stream went live (valid.jsonl).
   python scripts/train_real.py \
       --iters "$ITERS" --data wald --n-train 8192 --n-valid 64 \
       --steps-per-call 50 --valid-every 5000 \
       --stream-chunk 256 --device-aug 0.5 --aug-sign-fix \
+      --sensor-seed 43 \
       --out "$OUT" >> "$OUT/driver.log" 2>&1 &
   pid=$!
   echo "$pid" > "$OUT/train.pid"

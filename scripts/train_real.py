@@ -59,6 +59,15 @@ def main():
                          "round-4 regime that overfit: valid SAM degraded "
                          "monotonically while train loss fell). Must divide "
                          "n-train.")
+    ap.add_argument("--sensor-seed", type=int, default=None,
+                    help="wald data: pin the sensor response (MTF gains + "
+                         "pan spectral weights) to this seed for the "
+                         "cached pool AND every stream chunk, so the "
+                         "stream varies scenes while holding one sensor "
+                         "fixed — the reference's one-satellite regime. "
+                         "Set it to the valid seed (43) so validation is "
+                         "in-distribution. Default None = legacy "
+                         "per-chunk sensors (ambiguous spectral mapping)")
     ap.add_argument("--aug-sign-fix", action="store_true",
                     help="sign-correct the wavelet cond under device flips "
                          "(TrainConfig.device_aug_wavelet_signs)")
@@ -120,13 +129,15 @@ def main():
     # generate-or-load: the wald set takes ~75 ms/sample on this 1-core
     # host (~10 min at n=8192), so cache it next to the run — auto-resume
     # relaunches must not pay generation again
+    sfx = "" if args.sensor_seed is None else f"_s{args.sensor_seed}"
     cache = os.path.join(args.out, f"data_{args.data}_{args.family}"
-                                   f"_{args.n_train}_{args.n_valid}.npz")
+                                   f"_{args.n_train}_{args.n_valid}{sfx}.npz")
     if args.family == "cave":
         if args.data == "wald":
             from difpan_tpu.data.synthetic import make_wald_hisr_h5
-            gen = lambda n, seed: make_wald_hisr_h5(n=n, bands=31,
-                                                    size=64, seed=seed)
+            gen = lambda n, seed: make_wald_hisr_h5(
+                n=n, bands=31, size=64, seed=seed,
+                sensor_seed=args.sensor_seed)
         else:
             from difpan_tpu.data.synthetic import make_synthetic_hisr_h5
             gen = lambda n, seed: make_synthetic_hisr_h5(
@@ -136,7 +147,8 @@ def main():
         if args.data == "wald":
             from difpan_tpu.data.synthetic import make_wald_pan_h5_chunked
             gen = lambda n, seed: make_wald_pan_h5_chunked(
-                n=n, channels=8, size=64, division=2047.0, seed=seed)
+                n=n, channels=8, size=64, division=2047.0, seed=seed,
+                sensor_seed=args.sensor_seed)
         else:
             gen = lambda n, seed: make_synthetic_pan_h5(
                 n=n, channels=8, size=64, division=2047.0, seed=seed)
@@ -192,6 +204,7 @@ def main():
         "device_aug_prob": cfg.device_aug_prob,
         "device_aug_wavelet_signs": cfg.device_aug_wavelet_signs,
         "stream_chunk": args.stream_chunk,
+        "sensor_seed": args.sensor_seed,
     }
     with open(os.path.join(args.out, "RUN_CONFIG.json"), "w") as f:
         json.dump(run_config, f, indent=1)

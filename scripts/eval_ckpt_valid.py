@@ -41,6 +41,13 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
+    # persistent compile cache — the CPU jit of the ddim25 UNet scan takes
+    # tens of minutes on this 1-core host; share it with the test suite
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     import jax.numpy as jnp
     import numpy as np
 

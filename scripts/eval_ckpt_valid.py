@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--sensor-seed", type=int, default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (leave the tunnel chip to the trainer)")
+    ap.add_argument("--raw", action="store_true",
+                    help="evaluate the RAW params instead of the EMA — "
+                         "separates EMA lag from genuine model quality "
+                         "during a data-regime transition")
     ap.add_argument("--out", default=None, help="JSON output path")
     args = ap.parse_args()
 
@@ -108,7 +112,8 @@ def main():
                         [a, np.repeat(a[-1:], reps, axis=0)], axis=0)
                 pan, lms, wavelets = map(_pad, (pan, lms, wavelets))
             key, vkey = jax.random.split(key)
-            sr = sample_fn(state.ema_params, vkey, jnp.asarray(pan),
+            p_eval = state.params if args.raw else state.ema_params
+            sr = sample_fn(p_eval, vkey, jnp.asarray(pan),
                            jnp.asarray(lms), jnp.asarray(wavelets))
             analysis(np.asarray(gt),
                      np.asarray(jax.device_get(sr))[:n_real])

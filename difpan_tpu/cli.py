@@ -61,7 +61,7 @@ def _add_test(sub):
                    help="schedule length at eval (cosine)")
     p.add_argument("--section-counts", default="ddim25")
     p.add_argument("--sampler", default="ddim",
-                   choices=["ddim", "dpm-grid"],
+                   choices=["ddim", "dpm-grid", "x0"],
                    help="ddim = the reference eval protocol; dpm-grid = "
                         "the round-4 reduced-NFE preset (DPM++ o2, "
                         "grid-aligned steps + final denoise on the same "
@@ -125,7 +125,8 @@ def _add_serve(sub):
                         "--n-steps 25 --section-counts K` (K=20/15/10/5) "
                         "is the protocol-exact cheap preset (within ~2.5%% "
                         "of the full protocol down to K=5, NFE_STUDY.md)")
-    p.add_argument("--sampler", default="ddim", choices=["ddim", "dpm"],
+    p.add_argument("--sampler", default="ddim",
+                   choices=["ddim", "dpm", "x0"],
                    help="ddim = eval protocol; dpm with n_steps<=25 = "
                         "DPM-Solver++ on the protocol schedule with "
                         "grid-aligned steps + final denoise — measured "

@@ -98,8 +98,14 @@ class SamplerService:
         # sampler="ddim": the eval protocol (cosine T=n_steps, identity
         # ddim respacing). sampler="dpm": DPM-Solver++ multistep (order
         # `dpm_order`, n_steps NFE); NFE_STUDY.md quantifies the
-        # quality/NFE trade.
-        assert sampler in ("ddim", "dpm"), sampler
+        # quality/NFE trade. sampler="x0": NFE=1 posterior-mean mode
+        # (scripts/x0_probe.py) — one forward pass predicting x0 from pure
+        # noise at the top of a cosine T=n_steps schedule; n_steps must be
+        # the TRAIN schedule length (the engine's 3000) so t lands in the
+        # weights' time-embedding convention. Best distortion metrics at
+        # 1/25th the protocol's model evals; iterative samplers buy
+        # perceptual sharpness, not per-pixel accuracy.
+        assert sampler in ("ddim", "dpm", "x0"), sampler
         if sampler == "dpm" and n_steps < 2:
             raise ValueError("dpm preset needs n_steps >= 2")
         self.sampler = sampler
@@ -113,6 +119,12 @@ class SamplerService:
                 schedule_from_betas(
                     make_beta_schedule("cosine", n_steps, cosine_s=8e-3)),
                 section_counts)
+        elif sampler == "x0":
+            self.sched_re = None
+            sched_full = schedule_from_betas(
+                make_beta_schedule("cosine", n_steps, cosine_s=8e-3))
+            self._x0_sigma_T = float(
+                np.sqrt(1.0 - np.asarray(sched_full.alphas_cumprod)[-1]))
         else:
             # dpm mode: n_steps is the solver NFE, not a schedule length —
             # building the DDIM respacing here would reject e.g.
@@ -230,6 +242,27 @@ class SamplerService:
 
             return sample
 
+        if self.sampler == "x0":
+            sig_T, t_top = self._x0_sigma_T, self.n_steps - 1
+
+            def sample(params, key, pan, lms, wavelets):
+                cond = pack_cond(lms, pan, wavelets)
+                cache = model.apply({"params": params}, None, None,
+                                    cast_in(cond), cond_only=True,
+                                    cache_max_res=self.cond_evict_res)
+                cond_in = (cast_in(cond) if self.cond_evict_res is not None
+                           else None)
+                xT = jax.random.normal(key, lms.shape) * sig_T
+                t = jnp.full((lms.shape[0],), t_top, jnp.int32)
+                out = model.apply({"params": params}, cast_in(xT), t,
+                                  cond_in, cast_in(jnp.zeros_like(xT)),
+                                  train=False, cond_cache=cache)
+                if self.pred_var:
+                    out = jnp.split(out, 2, axis=-1)[0]
+                return jnp.clip(out.astype(jnp.float32) + lms, 0.0, 1.0)
+
+            return sample
+
         def sample(params, key, pan, lms, wavelets):
             cond = pack_cond(lms, pan, wavelets)
             cache = model.apply({"params": params}, None, None,
@@ -269,6 +302,11 @@ class SamplerService:
                         order=self.dpm_order, axis_name="space",
                         skip_type=self.dpm_skip,
                         denoise_to_zero=self.dpm_denoise)
+                elif self._space_mesh is not None and self.sampler == "x0":
+                    raise ValueError(
+                        "sampler='x0' with space_shards is not wired — "
+                        "NFE=1 has no sampling scan to partition; serve "
+                        "it unsharded (25x cheaper than the protocol)")
                 elif self._space_mesh is not None:
                     from .parallel import make_sharded_sampler
                     fn = make_sharded_sampler(

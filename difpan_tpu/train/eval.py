@@ -115,7 +115,7 @@ def evaluate(
     dcfg = DiffusionConfig(channels=n_ch, pred_mode="x_start",
                            loss_type="l1", clamp_range=(0.0, 1.0),
                            self_condition=True, pred_var=pred_var)
-    assert sampler in ("ddim", "dpm-grid"), sampler
+    assert sampler in ("ddim", "dpm-grid", "x0"), sampler
     betas = make_beta_schedule("cosine", n_steps, cosine_s=8e-3)
     sched = schedule_from_betas(betas)
     # the respacing belongs to the ddim protocol path only — building it
@@ -154,6 +154,26 @@ def evaluate(
             s = solver.sample(xT, steps=nfe - 1, order=2,
                               method="multistep", skip_type="grid",
                               denoise_to_zero=True)
+        elif sampler == "x0":
+            # NFE=1 posterior-mean mode (round-5 x0 study,
+            # scripts/x0_probe.py): ONE forward pass predicting x0 from
+            # pure noise at the schedule's top step — the model's estimate
+            # of the conditional mean/median of the residual. On high-
+            # conditional-entropy scenes this scores BETTER on distortion
+            # metrics (SAM/ERGAS/PSNR) than iterative sampling, at 1/25th
+            # the model evals; iterative sampling buys perceptual sharpness
+            # (samples from the learned spread), not per-pixel accuracy.
+            # Pass n_steps = the TRAIN schedule length so t lands in the
+            # weights' time-embedding convention.
+            sig_T = jnp.sqrt(1.0 - sched.alphas_cumprod[-1])
+            xT = jax.random.normal(key, lms.shape) * sig_T
+            t = jnp.full((lms.shape[0],), n_steps - 1, jnp.int32)
+            out = model.apply({"params": params}, xT, t, cond_in,
+                              jnp.zeros_like(xT), train=False,
+                              cond_cache=cache)
+            if pred_var:
+                out = jnp.split(out, 2, axis=-1)[0]
+            s = out
         else:
             def model_fn(x, t, c, sc, k):
                 return model.apply({"params": params}, x, t, cond_in, sc,
@@ -175,6 +195,12 @@ def evaluate(
                 "cond_evict_res is not supported on the H-sharded path "
                 "(the sharded cond cache is already partitioned over the "
                 "mesh); drop --cond-evict-res or the spatial shard")
+        if sampler == "x0":
+            raise ValueError(
+                "sampler='x0' is not wired on the H-sharded path — at "
+                "NFE=1 the sampling scan the sharded path exists to "
+                "partition is gone; run it unsharded (it is 25x cheaper "
+                "than the protocol sampler) or tile")
         if sampler == "dpm-grid":
             from ..parallel import make_sharded_dpm_sampler
             sample = make_sharded_dpm_sampler(

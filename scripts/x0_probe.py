@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""One-shot x0 (posterior-mean) probe across checkpoints.
+
+The decisive round-5 experiment: the engine's DDIM-25 validation metrics
+degraded monotonically through EVERY training regime (fixed pool, multi-
+sensor stream, sensor-pinned stream) while train loss fell. This probe
+separates the MODEL from the SAMPLING PROTOCOL by scoring the model's
+direct x0 prediction from pure noise at t=T-1 — one forward pass, NFE=1,
+the model's estimate of the conditional mean/median of the residual given
+(lms, pan, wavelets).
+
+Result (2026-08-19): one-shot x0 beats the bicubic-LMS baseline ~2x on
+every metric AND improves with training, while DDIM-25 of the same
+checkpoints scores WORSE than the baseline and degrades — i.e. the
+model learns the task well and the degradation is the distortion side of
+the distortion-perception tradeoff: as the diffusion model learns the
+true conditional SPREAD of the per-band high frequencies (large on these
+synthetic scenes: random material spectra make the per-band HF split
+genuinely ambiguous given one pan), iterative sampling draws from that
+spread and per-pixel metrics (SAM/ERGAS/PSNR) move away from the
+conditional mean. An l1-regression would score better on these metrics
+by construction; the diffusion model is doing its job. The reference's
+real satellite data has far lower conditional entropy (real material
+spectra correlate tightly with pan), which is why the reference's DDIM-25
+numbers improve through its schedule while ours don't.
+
+Usage:
+  python scripts/x0_probe.py --ckpt runs/real_train_wald/weights \
+      [--steps 50000 60000 ...] [--sensor-seed 43] [--out probe.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="runs/real_train_wald/weights")
+    ap.add_argument("--steps", type=int, nargs="+", default=None)
+    ap.add_argument("--n-valid", type=int, default=64)
+    ap.add_argument("--valid-seed", type=int, default=43)
+    ap.add_argument("--sensor-seed", type=int, default=43)
+    ap.add_argument("--raw", action="store_true", help="raw params, not EMA")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from difpan_tpu.data import PanDataset, get_dataset_spec
+    from difpan_tpu.data.loader import pack_cond
+    from difpan_tpu.data.synthetic import make_wald_pan_h5_chunked
+    from difpan_tpu.metrics import AnalysisPanAcc
+    from difpan_tpu.train import TrainConfig
+    from difpan_tpu.train.engine import (_dtype_casts, build_diffusion,
+                                         build_model)
+    from difpan_tpu.train.state import create_train_state, make_optimizer
+    from difpan_tpu.utils.checkpoints import restore_checkpoint
+
+    cfg = TrainConfig(dataset_name="wv3", image_n_channel=8, pan_channel=1,
+                      compute_dtype="bfloat16")
+    spec = get_dataset_spec("wv3")
+    d_v = make_wald_pan_h5_chunked(n=args.n_valid, channels=8, size=64,
+                                   division=2047.0, seed=args.valid_seed,
+                                   sensor_seed=args.sensor_seed)
+    ds = PanDataset(d_v, norm_range=False, division=spec.division,
+                    wavelets=True)
+    pan, lms, gt, wav = (np.asarray(a) for a in ds.batch(
+        np.arange(args.n_valid)))
+
+    model = build_model(cfg)
+    dcfg, sched = build_diffusion(cfg)
+    cast_in, cast_out = _dtype_casts(cfg)
+    p0 = model.init({"params": jax.random.PRNGKey(0)},
+                    jnp.zeros((1, 64, 64, 8)), jnp.array([0]),
+                    jnp.zeros((1, 64, 64, 2 * 8 + 4)), train=False)["params"]
+    template = create_train_state(p0, make_optimizer())
+
+    T = int(sched.betas.shape[0])
+    sig_T = float(np.sqrt(1.0 - np.asarray(sched.alphas_cumprod)[T - 1]))
+
+    def x0_probe(params, pan_b, lms_b, wav_b, key):
+        cond = pack_cond(jnp.asarray(lms_b), jnp.asarray(pan_b),
+                         jnp.asarray(wav_b))
+        lp = cast_in(params)
+        xt = jax.random.normal(key, lms_b.shape) * sig_T
+        t = jnp.full((lms_b.shape[0],), T - 1, jnp.int32)
+        sc = jnp.zeros_like(xt)
+        out = model.apply({"params": lp}, cast_in(xt), t, cast_in(cond),
+                          cast_in(sc), train=False)
+        return cast_out(out)
+
+    probe = jax.jit(x0_probe)
+
+    # bicubic-LMS baseline (residual = 0)
+    an0 = AnalysisPanAcc(ergas_ratio=spec.ergas_ratio)
+    an0(gt, np.clip(lms, 0, 1))
+    baseline = {k: round(float(v), 4) for k, v in an0.acc_ave.items()}
+    print(f"[x0_probe] LMS baseline: {baseline}", flush=True)
+
+    steps = args.steps
+    if steps is None:
+        steps = sorted(int(d) for d in os.listdir(args.ckpt) if d.isdigit())
+
+    results = {"lms_baseline": baseline}
+    for step in steps:
+        st = restore_checkpoint(args.ckpt, template, step=step)
+        params = st.params if args.raw else st.ema_params
+        an = AnalysisPanAcc(ergas_ratio=spec.ergas_ratio)
+        B = 16
+        for i in range(0, args.n_valid, B):
+            x0 = probe(params, pan[i:i + B], lms[i:i + B], wav[i:i + B],
+                       jax.random.PRNGKey(7 + i))
+            sr = np.clip(np.asarray(x0, np.float32) + lms[i:i + B], 0, 1)
+            an(gt[i:i + B], sr)
+        rec = {k: round(float(v), 4) for k, v in an.acc_ave.items()}
+        results[str(step)] = rec
+        print(f"[x0_probe] step {step} "
+              f"({'raw' if args.raw else 'ema'}): {rec}", flush=True)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"ckpt": args.ckpt,
+                       "params": "raw" if args.raw else "ema",
+                       "protocol": "one-shot x0 at t=T-1 (NFE=1), "
+                                   "sr=(x0+lms).clip(0,1)",
+                       "n_valid": args.n_valid,
+                       "valid_seed": args.valid_seed,
+                       "sensor_seed": args.sensor_seed,
+                       "results": results}, f, indent=1)
+        print(f"[x0_probe] wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -369,3 +369,23 @@ def test_batcher_restarts_after_loop_death():
     # re-ensures a fresh batcher, which completes the request
     sr = svc.submit(pan, lms)
     assert sr.shape == (1, 16, 16, 4)
+
+
+def test_x0_sampler_preset():
+    """sampler="x0" (round-5 posterior-mean serving mode): NFE=1 — one
+    forward pass, deterministic under an explicit seed, correct
+    shapes/range, distinct from the DDIM protocol samples, and rejects
+    space_shards (no sampling scan to partition)."""
+    svc = _make_service(sampler="x0", n_steps=10)
+    pan, lms = _batch(2, seed=9)
+    a = svc.sample(pan, lms, seed=21)
+    b = svc.sample(pan, lms, seed=21)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (2, 16, 16, 4)
+    assert np.all(a >= 0) and np.all(a <= 1)
+    c = _make_service().sample(pan, lms, seed=21)
+    assert not np.allclose(a, c)
+
+    svc_sh = _make_service(sampler="x0", n_steps=10, space_shards=1)
+    with pytest.raises(ValueError, match="x0"):
+        svc_sh.sample(pan, lms, seed=21)

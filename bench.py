@@ -165,12 +165,16 @@ def main():
                    help="evict cond-cache entries above this resolution "
                         "(recompute in-scan) — HBM headroom for large "
                         "tiles/batches, e.g. --cond-evict-res 256 at 512px")
-    p.add_argument("--sampler", default="dpm", choices=["dpm", "ddim"],
+    p.add_argument("--sampler", default="dpm",
+                   choices=["dpm", "ddim", "x0"],
                    help="dpm = 20-step DPM-Solver++ (the headline metric); "
                         "ddim = the eval protocol's DDIM (cosine T=NFE, "
                         "identity ddim respacing — exactly what "
                         "train/eval.py, serve and the reference test_fn "
-                        "run; --steps NFE, default 25)")
+                        "run; --steps NFE, default 25); x0 = the round-5 "
+                        "NFE=1 posterior-mean serving mode (X0_STUDY.md) — "
+                        "one forward pass, --steps is the schedule length "
+                        "(default 3000, the engine's train schedule)")
     p.add_argument("--skip-probe", action="store_true",
                    help="skip the child-process backend probe (CPU runs, "
                         "tests)")
@@ -181,11 +185,11 @@ def main():
                         "never returns, so this bounds each attempt")
     args = p.parse_args()
     if args.steps is None:
-        args.steps = 25 if args.sampler == "ddim" else 20
+        args.steps = {"ddim": 25, "dpm": 20, "x0": 3000}[args.sampler]
 
-    metric = (f"wv3_dpmsolver{args.steps}_sampling_throughput"
-              if args.sampler == "dpm"
-              else "wv3_ddim_protocol_sampling_throughput")
+    metric = {"dpm": f"wv3_dpmsolver{args.steps}_sampling_throughput",
+              "ddim": "wv3_ddim_protocol_sampling_throughput",
+              "x0": "wv3_x0_posterior_mean_throughput"}[args.sampler]
     paused = [] if args.skip_probe else pause_local_training()
     try:
         return _run(args, metric)
@@ -254,7 +258,29 @@ def _run(args, metric):
         return model.apply({"params": params}, xx, t_input, cond_in_scan,
                            train=False, cond_cache=cache)
 
-    if args.sampler == "ddim":
+    if args.sampler == "x0":
+        # NFE=1 posterior-mean mode (X0_STUDY.md): cond cache + ONE
+        # denoiser eval from pure noise at the top schedule step
+        from difpan_tpu.diffusion import schedule_from_betas
+        sched_full = schedule_from_betas(
+            make_beta_schedule("cosine", args.steps, cosine_s=8e-3))
+        import numpy as _np
+        sig_T = float(_np.sqrt(1.0 - _np.asarray(
+            sched_full.alphas_cumprod)[-1]))
+        t_top = args.steps - 1
+
+        @jax.jit
+        def run(key):
+            cache = model.apply({"params": params}, None, None, cond,
+                                cond_only=True,
+                                cache_max_res=args.cond_evict_res)
+            xT = jax.random.normal(key, (b, s, s, c), dtype) * sig_T
+            t = jnp.full((b,), t_top, jnp.int32)
+            out = model.apply({"params": params}, xT, t, cond_in_scan,
+                              jnp.zeros_like(xT), train=False,
+                              cond_cache=cache)
+            return out.astype(jnp.float32)
+    elif args.sampler == "ddim":
         from difpan_tpu.diffusion import (DiffusionConfig, respace,
                                           schedule_from_betas,
                                           ddim_sample_loop)

@@ -36,6 +36,9 @@ CONFIGS = [
     # the round-4 quality-cheap serving preset at NFE 5: ~4x the headline
     # throughput at measured-better-than-protocol quality (NFE_STUDY.md G)
     {"name": "dpmgrid5_256px_b24", "args": ["--dpm-grid", "--steps", "5"]},
+    # round-5 NFE=1 posterior-mean serving mode (X0_STUDY.md): best
+    # distortion metrics of any sampler at 1/25th the protocol's evals
+    {"name": "x0_256px_b24", "args": ["--sampler", "x0"]},
     # cond-cache eviction path (b12 OOMs without it — PERF.md round 3)
     {"name": "dpm20_512px_b12_evict256",
      "args": ["--size", "512", "--batch", "12", "--cond-evict-res", "256"]},

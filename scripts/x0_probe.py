@@ -41,10 +41,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default="runs/real_train_wald/weights")
+    ap.add_argument("--family", default="wv3", choices=["wv3", "cave"],
+                    help="cave = 31-band hyperspectral MHIF (HISRDataSets; "
+                         "trivial baseline = bicubic HSI_up, cond = RGB) — "
+                         "legacy per-seed sensor to match that run's valid "
+                         "protocol unless --sensor-seed is given")
     ap.add_argument("--steps", type=int, nargs="+", default=None)
     ap.add_argument("--n-valid", type=int, default=64)
     ap.add_argument("--valid-seed", type=int, default=43)
-    ap.add_argument("--sensor-seed", type=int, default=43)
+    ap.add_argument("--sensor-seed", type=int, default=None,
+                    help="default: 43 for wv3 (the 400k run's pinned "
+                         "sensor), None for cave (legacy seed-derived, "
+                         "matching that run's valid protocol)")
     ap.add_argument("--raw", action="store_true", help="raw params, not EMA")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -69,23 +77,38 @@ def main():
     from difpan_tpu.train.state import create_train_state, make_optimizer
     from difpan_tpu.utils.checkpoints import restore_checkpoint
 
-    cfg = TrainConfig(dataset_name="wv3", image_n_channel=8, pan_channel=1,
-                      compute_dtype="bfloat16")
-    spec = get_dataset_spec("wv3")
-    d_v = make_wald_pan_h5_chunked(n=args.n_valid, channels=8, size=64,
-                                   division=2047.0, seed=args.valid_seed,
-                                   sensor_seed=args.sensor_seed)
-    ds = PanDataset(d_v, norm_range=False, division=spec.division,
-                    wavelets=True)
+    if args.family == "wv3":
+        if args.sensor_seed is None:
+            args.sensor_seed = 43
+        cfg = TrainConfig(dataset_name="wv3", image_n_channel=8,
+                          pan_channel=1, compute_dtype="bfloat16")
+        spec = get_dataset_spec("wv3")
+        d_v = make_wald_pan_h5_chunked(n=args.n_valid, channels=8, size=64,
+                                       division=2047.0, seed=args.valid_seed,
+                                       sensor_seed=args.sensor_seed)
+        ds = PanDataset(d_v, norm_range=False, division=spec.division,
+                        wavelets=True)
+    else:
+        from difpan_tpu.data import HISRDataSets
+        from difpan_tpu.data.synthetic import make_wald_hisr_h5
+        cfg = TrainConfig(dataset_name="cave", image_n_channel=31,
+                          pan_channel=3, compute_dtype="bfloat16")
+        spec = get_dataset_spec("cave")
+        d_v = make_wald_hisr_h5(n=args.n_valid, bands=31, size=64,
+                                seed=args.valid_seed,
+                                sensor_seed=args.sensor_seed)
+        ds = HISRDataSets(d_v, wavelets=True)
     pan, lms, gt, wav = (np.asarray(a) for a in ds.batch(
         np.arange(args.n_valid)))
 
     model = build_model(cfg)
     dcfg, sched = build_diffusion(cfg)
     cast_in, cast_out = _dtype_casts(cfg)
+    c, pc = cfg.image_n_channel, cfg.pan_channel
     p0 = model.init({"params": jax.random.PRNGKey(0)},
-                    jnp.zeros((1, 64, 64, 8)), jnp.array([0]),
-                    jnp.zeros((1, 64, 64, 2 * 8 + 4)), train=False)["params"]
+                    jnp.zeros((1, 64, 64, c)), jnp.array([0]),
+                    jnp.zeros((1, 64, 64, 2 * c + 4 * pc)),
+                    train=False)["params"]
     template = create_train_state(p0, make_optimizer())
 
     T = int(sched.betas.shape[0])

@@ -292,6 +292,32 @@ def make_sample_fn(cfg: TrainConfig, model, dcfg, sched,
     return sample_fn
 
 
+def make_x0_fn(cfg: TrainConfig, model, sched):
+    """Jittable one-shot posterior-mean probe over the EMA params: ONE
+    forward pass at t=T-1 from pure noise (NFE=1) -> sr in [0,1].
+
+    Scores the model's conditional-MEAN estimate, which is what
+    distortion metrics (SAM/ERGAS/PSNR) actually reward; the iterative
+    protocol number can degrade as the model learns the conditional
+    SPREAD (see X0_STUDY.md — three rounds misread that trajectory).
+    Logged alongside the protocol metrics at every validation as x0_*.
+    """
+    cast_in, cast_out = _dtype_casts(cfg)
+    T = int(sched.betas.shape[0])
+    sig_T = float(np.sqrt(1.0 - np.asarray(sched.alphas_cumprod)[T - 1]))
+
+    def x0_fn(params, key, pan, lms, wavelets):
+        cond = pack_cond(lms, pan, wavelets)
+        lp = cast_in(params)
+        xt = jax.random.normal(key, lms.shape) * sig_T
+        t = jnp.full((lms.shape[0],), T - 1, jnp.int32)
+        out = model.apply({"params": lp}, cast_in(xt), t, cast_in(cond),
+                          cast_in(jnp.zeros_like(xt)), train=False)
+        return jnp.clip(cast_out(out) + lms, 0.0, 1.0)
+
+    return x0_fn
+
+
 def train(
     train_data,
     valid_data,
@@ -451,6 +477,10 @@ def train(
         make_sample_fn(cfg, model, dcfg, sched),
         in_shardings=(repl_sh, repl_sh, data_sh, data_sh, data_sh),
         out_shardings=data_sh)
+    x0_fn = jax.jit(
+        make_x0_fn(cfg, model, sched),
+        in_shardings=(repl_sh, repl_sh, data_sh, data_sh, data_sh),
+        out_shardings=data_sh)
 
     max_iters = (max_iterations if max_iterations is not None
                  else cfg.max_iterations)
@@ -586,6 +616,7 @@ def train(
 
         if step % cfg.valid_every == 0:
             analysis = AnalysisPanAcc(ergas_ratio=spec.ergas_ratio)
+            analysis_x0 = AnalysisPanAcc(ergas_ratio=spec.ergas_ratio)
             last_gt = last_sr = None
             for vbatch in batch_iterator(valid_data, cfg.valid_batch_size,
                                          epochs=1, shuffle=False):
@@ -600,11 +631,16 @@ def train(
                             [a, np.repeat(a[-1:], reps, axis=0)], axis=0)
                     pan, lms, wavelets = map(_pad, (pan, lms, wavelets))
                 key, vkey = jax.random.split(key)
-                sr = sample_fn(state.ema_params, vkey, jnp.asarray(pan),
-                               jnp.asarray(lms), jnp.asarray(wavelets))
+                dpan, dlms, dwav = (jnp.asarray(pan), jnp.asarray(lms),
+                                    jnp.asarray(wavelets))
+                sr = sample_fn(state.ema_params, vkey, dpan, dlms, dwav)
+                # one-shot posterior-mean metrics ride along (NFE=1 — the
+                # marginal cost is 1/25th of the protocol pass above)
+                sr0 = x0_fn(state.ema_params, vkey, dpan, dlms, dwav)
                 last_sr = np.asarray(jax.device_get(sr))[:n_real]
                 last_gt = np.asarray(gt)
                 analysis(last_gt, last_sr)
+                analysis_x0(last_gt, np.asarray(jax.device_get(sr0))[:n_real])
             if cfg.save_valid_images and last_sr is not None:
                 # [hr grid | sr grid] side by side, PNG + TB image
                 # (`diffusion_engine.py:303-320`)
@@ -619,13 +655,15 @@ def train(
                     logger.log_image("valid_sample", grid, step)
             logger.print("---diffusion result---")
             logger.print(analysis.print_str())
-            logger.log_scalars("diffusion_perf", analysis.acc_ave, step)
+            acc = dict(analysis.acc_ave)
+            acc.update({f"x0_{k}": v for k, v in analysis_x0.acc_ave.items()})
+            logger.log_scalars("diffusion_perf", acc, step)
             # metrics record BEFORE the checkpoint save: a kill between the
             # two can strand a checkpoint without its valid.jsonl line but
             # never the reverse (ADVICE r4: ckpt 9000 existed while
             # valid.jsonl jumped 8000->10000)
             if on_valid is not None:
-                on_valid(step, state, analysis.acc_ave)
+                on_valid(step, state, acc)
             save_checkpoint(cfg.ckpt_dir, state)
             logger.print("save model")
             if should_stop is not None and should_stop(step):

@@ -137,17 +137,27 @@ def main():
         ]
 
     if valids:
-        keys = [k for k in valids[0]
-                if k not in ("step", "ema_l2", "ema_phase")]
+        # union of keys across rows, first-seen order: later segments add
+        # columns (x0_* posterior-mean metrics) that early rows lack
+        keys = []
+        for r in valids:
+            for k in r:
+                if k not in ("step", "ema_l2", "ema_phase") and k not in keys:
+                    keys.append(k)
         lines += [
-            "## Validation trajectory (DDIM-25 protocol on EMA params)",
+            "## Validation trajectory (DDIM-25 protocol on EMA params; "
+            "x0_* = one-shot posterior-mean NFE=1 metrics, the lens that "
+            "tracks learning — see X0_STUDY.md)",
             "",
             "| iter | " + " | ".join(keys) + " | EMA phase | EMA-params L2 |",
             "|---|" + "---|" * (len(keys) + 2),
         ]
         for r in subsample(valids):
             vals = " | ".join(
-                f"{r[k]:.4g}" if k == "lr" else f"{r[k]:.4f}" for k in keys)
+                "—" if k not in r
+                else f"{r[k]:.4g}" if k == "lr" or isinstance(r[k], int)
+                else f"{r[k]:.4f}"
+                for k in keys)
             lines.append(f"| {r['step']} | {vals} | {r['ema_phase']} | "
                          f"{r['ema_l2']:.4f} |")
         decay = [r for r in valids if r["ema_phase"] == "decay"]

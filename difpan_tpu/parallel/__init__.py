@@ -7,5 +7,6 @@ from .mesh import (
 )
 from .sharded_unet import (make_sharded_unet_forward, make_sharded_sampler,
                            make_sharded_dpm_sampler,
+                           make_sharded_x0_sampler,
                            make_sharded_train_forward,
                            make_sharded_train_step)

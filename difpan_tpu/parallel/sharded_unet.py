@@ -526,6 +526,44 @@ def make_sharded_dpm_sampler(model, mesh, betas, *, steps: int = 20,
     return jax.jit(sample)
 
 
+def make_sharded_x0_sampler(model, mesh, sched, *, axis_name: str = "data"):
+    """H-sharded one-shot posterior-mean mode (NFE=1): ONE shard_map'd UNet
+    forward at t=T-1 from pure noise — the beyond-HBM counterpart of
+    `train.eval`'s `sampler="x0"` (X0_STUDY.md), so a full-res image whose
+    single forward pass exceeds one chip's HBM still gets the
+    posterior-mean serving mode. At NFE=1 there is nothing for the cond
+    cache to amortize, so the deterministic explicit-self-cond body runs
+    the cond branches inline — numerics match the unsharded
+    `model.apply(..., self_cond=0, train=False)` exactly.
+
+    `sched` is the TRAIN-length schedule (its size fixes both the t=T-1
+    time-embedding convention the weights were trained with and sigma_T).
+    Returns `sample(params, key, pan, lms, wavelets) -> sr in [0,1]` with
+    the same edge-pad + crop contract as the other sharded samplers.
+    """
+    from ..data.loader import pack_cond
+
+    inner = make_sharded_unet_forward(model, mesh, axis_name, jit=False)
+    T = int(sched.betas.shape[0])
+    sig_T = jnp.sqrt(1.0 - sched.alphas_cumprod[T - 1])
+
+    def sample(params, key, pan, lms, wavelets):
+        pan, lms, wavelets, (b0, h0, w0) = _pad_for_sharding(
+            inner, pan, lms, wavelets)
+        cond = pack_cond(lms, pan, wavelets)
+        enc_pyr, dec_pyr = inner.pyramids(cond)
+        t = jnp.full((lms.shape[0],), T - 1, jnp.int32)
+        t_emb = inner.t_embedding(params["noise_level_mlp"], t)
+        xt = jax.random.normal(key, lms.shape) * sig_T
+        out = inner.body_train_det(params, xt, jnp.zeros_like(xt), t_emb,
+                                   enc_pyr, dec_pyr)
+        if getattr(model, "pred_var", False):
+            out = jnp.split(out, 2, axis=-1)[0]
+        return jnp.clip(out + lms, 0.0, 1.0)[:b0, :h0, :w0]
+
+    return jax.jit(sample)
+
+
 def make_sharded_train_forward(model, mesh, axis_name: str = "space"):
     """Train-mode H-sharded UNet forward: dropout active (per-shard
     decorrelated masks), explicit self_cond input (p_losses' stop-gradient

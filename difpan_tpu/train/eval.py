@@ -196,12 +196,13 @@ def evaluate(
                 "(the sharded cond cache is already partitioned over the "
                 "mesh); drop --cond-evict-res or the spatial shard")
         if sampler == "x0":
-            raise ValueError(
-                "sampler='x0' is not wired on the H-sharded path — at "
-                "NFE=1 the sampling scan the sharded path exists to "
-                "partition is gone; run it unsharded (it is 25x cheaper "
-                "than the protocol sampler) or tile")
-        if sampler == "dpm-grid":
+            # one shard_map'd forward at t=T-1 (NFE=1): a full-res image
+            # whose single forward exceeds one chip's HBM still gets the
+            # posterior-mean mode (X0_STUDY.md)
+            from ..parallel import make_sharded_x0_sampler
+            sample = make_sharded_x0_sampler(model, mesh, sched,
+                                             axis_name=spatial_axis)
+        elif sampler == "dpm-grid":
             from ..parallel import make_sharded_dpm_sampler
             sample = make_sharded_dpm_sampler(
                 model, mesh, betas, steps=nfe - 1, order=2,

@@ -407,6 +407,54 @@ def test_dp_sp_2d_mesh_dpm_sampler_runs():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_sharded_x0_sampler_matches_unsharded():
+    """One-shot posterior-mean mode (sampler='x0', NFE=1) on the 2-D mesh:
+    non-divisible batch 3 pads to 4, and numerics match the unsharded
+    one-forward-pass x0 prediction (self_cond=0, t=T-1) on the same padded
+    inputs, cropped back."""
+    from difpan_tpu.diffusion import make_beta_schedule, schedule_from_betas
+    from difpan_tpu.models import UNetSR3DWT
+    from difpan_tpu.parallel import make_mesh_2d, make_sharded_x0_sampler
+    from difpan_tpu.data.loader import pack_cond
+
+    c, pc = 4, 1
+    model = UNetSR3DWT(
+        in_channel=c, out_channel=c, lms_channel=c, pan_channel=pc,
+        inner_channel=8, norm_groups=1, channel_mults=(1, 2), attn_res=(8,),
+        res_blocks=1, dropout=0.0, image_size=32, self_condition=True)
+    B, H, W = 3, 28, 16
+    pan = jax.random.uniform(jax.random.PRNGKey(54), (B, H, W, pc))
+    lms = jax.random.uniform(jax.random.PRNGKey(55), (B, H, W, c))
+    wav = jax.random.uniform(jax.random.PRNGKey(56),
+                             (B, H // 2, W // 2, c + 3 * pc))
+    params = model.init(
+        {"params": jax.random.PRNGKey(57)}, lms[:, :16], jnp.array([0]),
+        jnp.zeros((B, 16, W, 2 * c + 4 * pc)), train=False)["params"]
+    sched = schedule_from_betas(make_beta_schedule("cosine", 50,
+                                                   cosine_s=8e-3))
+
+    mesh = make_mesh_2d(4, 2)
+    sample = make_sharded_x0_sampler(model, mesh, sched, axis_name="space")
+    key = jax.random.PRNGKey(58)
+    out = sample(params, key, pan, lms, wav)
+    assert out.shape == (B, H, W, c)
+
+    # unsharded reference on the SAME padded inputs (B 3->4 repeat-last),
+    # same key: one forward at t=T-1 from sigma_T-scaled noise, sc=0
+    pad_b = lambda a: jnp.concatenate([a, a[-1:]], axis=0)
+    pan_p, lms_p, wav_p = pad_b(pan), pad_b(lms), pad_b(wav)
+    cond = pack_cond(lms_p, pan_p, wav_p)
+    T = int(sched.betas.shape[0])
+    sig_T = jnp.sqrt(1.0 - sched.alphas_cumprod[T - 1])
+    xt = jax.random.normal(key, lms_p.shape) * sig_T
+    t = jnp.full((lms_p.shape[0],), T - 1, jnp.int32)
+    pred = model.apply({"params": params}, xt, t, cond,
+                       jnp.zeros_like(xt), train=False)
+    ref = jnp.clip(pred + lms_p, 0.0, 1.0)[:B, :H]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
 def _tiny_train_setup(dropout, compute_dtype="float32"):
     from difpan_tpu.train.engine import (TrainConfig, build_diffusion,
                                          build_model)

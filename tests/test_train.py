@@ -106,9 +106,17 @@ def test_full_train_loop_with_validation_and_checkpoint(tmp_path):
                     show_recon=True, recon_every=10)
     ds = _dataset()
     mesh = make_mesh(8)
+    valid_recs = []
     state = train(ds, ds, cfg, mesh=mesh, logger=_NullLogger(),
-                  max_iterations=20)
+                  max_iterations=20,
+                  on_valid=lambda s, st, acc: valid_recs.append((s, acc)))
     assert int(jax.device_get(state.step)) == 20
+    # every validation carries BOTH the protocol metrics and the one-shot
+    # posterior-mean (x0_*) metrics, all finite (X0_STUDY.md)
+    assert [s for s, _ in valid_recs] == [10, 20]
+    for _, acc in valid_recs:
+        assert {"SAM", "x0_SAM", "x0_SSIM"} <= set(acc), sorted(acc)
+        assert all(np.isfinite(float(v)) for v in acc.values())
     # training-time image artifacts (`diffusion_engine.py:250-270,303-320`)
     for rel in ("recon_x/iter_10.png", "recon_x/iter_20.png",
                 "valid_samples/iter_10.png", "valid_samples/iter_20.png"):

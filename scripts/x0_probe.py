@@ -54,6 +54,12 @@ def main():
                          "sensor), None for cave (legacy seed-derived, "
                          "matching that run's valid protocol)")
     ap.add_argument("--raw", action="store_true", help="raw params, not EMA")
+    ap.add_argument("--avg", type=int, default=1,
+                    help="average the x0 prediction over k independent "
+                         "noise draws (NFE=k): quantifies how much of the "
+                         "one-shot error is x_T-draw variance vs bias — if "
+                         "k=4 barely moves the metrics, the NFE=1 mode is "
+                         "already at the model's posterior-mean quality")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -144,9 +150,11 @@ def main():
         an = AnalysisPanAcc(ergas_ratio=spec.ergas_ratio)
         B = 16
         for i in range(0, args.n_valid, B):
-            x0 = probe(params, pan[i:i + B], lms[i:i + B], wav[i:i + B],
-                       jax.random.PRNGKey(7 + i))
-            sr = np.clip(np.asarray(x0, np.float32) + lms[i:i + B], 0, 1)
+            draws = [probe(params, pan[i:i + B], lms[i:i + B], wav[i:i + B],
+                           jax.random.PRNGKey(7 + i + 1000 * d))
+                     for d in range(args.avg)]
+            x0 = np.mean([np.asarray(x, np.float32) for x in draws], axis=0)
+            sr = np.clip(x0 + lms[i:i + B], 0, 1)
             an(gt[i:i + B], sr)
         rec = {k: round(float(v), 4) for k, v in an.acc_ave.items()}
         results[str(step)] = rec
@@ -157,8 +165,10 @@ def main():
         with open(args.out, "w") as f:
             json.dump({"ckpt": args.ckpt,
                        "params": "raw" if args.raw else "ema",
-                       "protocol": "one-shot x0 at t=T-1 (NFE=1), "
+                       "protocol": f"x0 at t=T-1 averaged over "
+                                   f"{args.avg} draw(s) (NFE={args.avg}), "
                                    "sr=(x0+lms).clip(0,1)",
+                       "avg": args.avg,
                        "n_valid": args.n_valid,
                        "valid_seed": args.valid_seed,
                        "sensor_seed": args.sensor_seed,

@@ -213,14 +213,18 @@ def test_evaluate_x0_sampler(tmp_path):
         assert abs(m_x0[k] - float(an.acc_ave[k])) < 5e-4, (k, m_x0[k])
 
 
-def test_evaluate_x0_rejects_spatial_shard():
-    import pytest
-
+def test_evaluate_x0_spatial_shard_smoke():
+    # sampler="x0" on a spatial mesh is supported via
+    # parallel.make_sharded_x0_sampler (numeric match vs unsharded is
+    # asserted in tests/test_spatial.py::test_sharded_x0_sampler_matches_
+    # unsharded); here: the evaluate() entry point wires it up and
+    # produces finite protocol metrics.
     d = make_synthetic_pan_h5(n=2, channels=4, size=32, division=1023.0)
     model = _tiny_model()
     params = _params(model)
     from difpan_tpu.parallel import make_mesh
     mesh = make_mesh(2, axis_name="space")
-    with pytest.raises(ValueError, match="x0"):
-        evaluate(d, params, "gf2", n_steps=10, sampler="x0", batch_size=2,
-                 model=model, mesh=mesh, spatial_axis="space")
+    m = evaluate(d, params, "gf2", n_steps=10, sampler="x0", batch_size=2,
+                 model=model, mesh=mesh, spatial_axis="space", seed=3)
+    assert set(m) == {"SAM", "ERGAS", "PSNR", "CC", "SSIM"}
+    assert all(np.isfinite(v) for v in m.values())

@@ -1,0 +1,67 @@
+"""Extract EMA params from a full orbax TrainState checkpoint into a
+single compressed .npz (flattened "a/b/c" keys).
+
+Why (VERDICT r5 item 5 / ADVICE): every 5k-step durable snapshot was
+committing the FULL train state (~148 MB: params + AdamW moments + EMA)
+to git, but the studies (x0 probe, NFE re-base, eval_ckpt_valid) only
+ever consume the EMA params (~37 MB). Snapshots now commit the EMA
+extract at the 5k cadence and the full resumable state only at ladder
+milestones (snapshot_ckpt.sh).
+
+The reference's analog is its weights-only `torch.save` of the EMA state
+dict every 5k iters (`diffusion_engine.py:333-341`).
+
+Usage:
+    python scripts/extract_ema.py <orbax_step_dir> <out.npz>
+    # load back:
+    from scripts.extract_ema import load_ema_npz
+    ema_params = load_ema_npz("ckpts/wald/ema/175000.npz")
+"""
+import sys
+
+import numpy as np
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat):
+    tree = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def load_ema_npz(path):
+    with np.load(path) as z:
+        return _unflatten({k: z[k] for k in z.files})
+
+
+def main():
+    step_dir, out = sys.argv[1], sys.argv[2]
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(step_dir)  # raw pytree, no template needed
+    ema = state.get("ema_params") if isinstance(state, dict) else None
+    assert ema is not None, f"no ema_params in {step_dir}: {type(state)}"
+    flat = _flatten(ema)
+    np.savez_compressed(out, **flat)
+    n = sum(v.size for v in flat.values())
+    print(f"[extract_ema] {step_dir} -> {out}: {len(flat)} leaves, "
+          f"{n/1e6:.2f}M params")
+
+
+if __name__ == "__main__":
+    main()

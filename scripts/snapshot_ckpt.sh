@@ -79,7 +79,8 @@ fi
 
 # cited-path guard: every ckpts/ path a committed study cites must exist
 missing=0
-for p in ckpts/wald/x0_probe.json ckpts/wald/baseline_s43.json \
+for p in ckpts/wald/x0_probe.json ckpts/wald/baseline_s43.json ckpts/wald/x0_drift_ema.json \
+         ckpts/wald/x0_drift_raw.json \
          ckpts/wald/archive_multisensor ckpts/wald/valid.jsonl \
          ckpts/wald/scalars.jsonl; do
   [ -e "$p" ] || { echo "[snapshot] GUARD: cited path missing: $p"; missing=1; }

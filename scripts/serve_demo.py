@@ -141,6 +141,11 @@ def main():
                     help="run on CPU (default: the tunnel TPU, borrowed "
                          "via the cooperative PAUSE protocol)")
     ap.add_argument("--json-out", default="runs/serve_demo.json")
+    ap.add_argument("--configs", default=None,
+                    help="comma-filter of config names to run (substring "
+                         "match), e.g. 'x0,dpm' — remote compiles are "
+                         "8-25 min each on the tunnel, so pick what the "
+                         "chip-time budget allows")
     args = ap.parse_args()
 
     import jax
@@ -181,11 +186,18 @@ def main():
             "lms": np.transpose(d["lms"], (0, 2, 3, 1)) / 2047.0,
         }
 
-        configs = [
+        all_configs = [
             ("ddim25_protocol", dict(sampler="ddim", n_steps=25,
                                      section_counts="ddim25")),
             ("dpm_grid_denoise_nfe5", dict(sampler="dpm", n_steps=5)),
+            # NFE=1 posterior-mean serving mode (X0_STUDY.md): n_steps =
+            # the TRAIN schedule length so t=T-1 lands in the weights'
+            # time-embedding convention
+            ("x0_nfe1", dict(sampler="x0", n_steps=3000)),
         ]
+        want = args.configs.split(",") if args.configs else None
+        configs = [(n, kw) for n, kw in all_configs
+                   if want is None or any(w in n for w in want)]
         out = {"weights": args.weights, "step": step,
                "platform": jax.devices()[0].platform,
                "device": str(jax.devices()[0]),

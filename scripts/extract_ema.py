@@ -49,7 +49,13 @@ def load_ema_npz(path):
 
 
 def main():
-    step_dir, out = sys.argv[1], sys.argv[2]
+    import os
+
+    step_dir, out = os.path.abspath(sys.argv[1]), sys.argv[2]
+    import jax
+
+    # host-only work; never touch the (possibly busy/absent) tunnel chip
+    jax.config.update("jax_platforms", "cpu")
     import orbax.checkpoint as ocp
 
     with ocp.StandardCheckpointer() as ckptr:

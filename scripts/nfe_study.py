@@ -63,7 +63,21 @@ def main():
     ap.add_argument("--groups", default=None,
                     help="comma-separated subset of group letters to run "
                          "(e.g. A,B,G); default all")
+    ap.add_argument("--n-test", type=int, default=None,
+                    help="widen the test set (VERDICT r5 item 8: n=8 is "
+                         "thin for headline percentages; the valid "
+                         "protocol elsewhere uses n=64)")
     args = ap.parse_args()
+    global N_TEST
+    if args.n_test:
+        N_TEST = args.n_test
+    # persistent compile cache (shared with the test suite): every NFE
+    # value is a distinct scan length = a distinct CPU compile
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 

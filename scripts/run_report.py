@@ -146,8 +146,12 @@ def main():
                     keys.append(k)
         lines += [
             "## Validation trajectory (DDIM-25 protocol on EMA params; "
-            "x0_* = one-shot posterior-mean NFE=1 metrics, the lens that "
-            "tracks learning — see X0_STUDY.md)",
+            "x0_* = one-shot posterior-mean NFE=1 distortion metrics. "
+            "The two lenses answer different questions and since the "
+            "100k LR drop they move in OPPOSITE directions — protocol "
+            "improving, x0 drifting up from its 105k minimum — which is "
+            "the model sharpening toward the conditional median, not "
+            "degrading; see X0_STUDY.md round-6 addendum)",
             "",
             "| iter | " + " | ".join(keys) + " | EMA phase | EMA-params L2 |",
             "|---|" + "---|" * (len(keys) + 2),
